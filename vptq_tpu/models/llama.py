@@ -1,0 +1,295 @@
+"""Llama-family decoder stack (Llama 2/3, Qwen2/2.5, Mistral).
+
+The reference delegates the model graph to HF transformers and only
+swaps linears (reference: vptq/layers/model_base.py:33-53). Here the
+decoder is our own functional JAX implementation — RMSNorm, RoPE, GQA
+attention and SwiGLU with all seven projections as quantized or dense
+linears — so the whole forward stays inside one jit/pjit region with
+static shapes and a functional KV cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vptq_tpu.layers.dense import DenseLinear
+from vptq_tpu.layers.vqlinear import VQLinear
+
+Linear = Union[VQLinear, DenseLinear]
+
+__all__ = ["ModelConfig", "Block", "Model", "KVCache", "init_cache"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture config, parsed from HF ``config.json``."""
+
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: int
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Tuple[Tuple[str, Any], ...]] = None
+    tie_word_embeddings: bool = False
+    model_type: str = "llama"
+
+    @classmethod
+    def from_hf_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
+        heads = d["num_attention_heads"]
+        rope_scaling = d.get("rope_scaling")
+        if rope_scaling is not None:
+            rope_scaling = tuple(sorted(rope_scaling.items()))
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=heads,
+            num_key_value_heads=d.get("num_key_value_heads", heads),
+            head_dim=d.get("head_dim", d["hidden_size"] // heads),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            rope_theta=d.get("rope_theta", 10000.0),
+            rope_scaling=rope_scaling,
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            model_type=d.get("model_type", "llama"),
+        )
+
+
+# --------------------------------------------------------------------
+# RoPE
+# --------------------------------------------------------------------
+
+
+def rope_frequencies(cfg: ModelConfig) -> jnp.ndarray:
+    """Per-pair inverse frequencies, with llama3-style scaling."""
+    dim = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    )
+    scaling = dict(cfg.rope_scaling) if cfg.rope_scaling else None
+    if scaling and scaling.get("rope_type", scaling.get("type")) == "llama3":
+        factor = scaling["factor"]
+        low_factor = scaling["low_freq_factor"]
+        high_factor = scaling["high_freq_factor"]
+        old_len = scaling["original_max_position_embeddings"]
+        low_wavelen = old_len / low_factor
+        high_wavelen = old_len / high_factor
+        wavelen = 2 * jnp.pi / inv_freq
+        smooth = (old_len / wavelen - low_factor) / (
+            high_factor - low_factor
+        )
+        scaled = jnp.where(
+            wavelen > low_wavelen,
+            inv_freq / factor,
+            jnp.where(
+                wavelen < high_wavelen,
+                inv_freq,
+                (1 - smooth) * inv_freq / factor + smooth * inv_freq,
+            ),
+        )
+        inv_freq = scaled
+    return inv_freq
+
+
+def apply_rope(
+    x: jnp.ndarray,  # (B, S, H, D)
+    positions: jnp.ndarray,  # (B, S)
+    inv_freq: jnp.ndarray,  # (D/2,)
+) -> jnp.ndarray:
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B,S,D/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    norm = xf * jax.lax.rsqrt(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) + eps
+    )
+    return (norm * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+# --------------------------------------------------------------------
+# Parameter pytrees
+# --------------------------------------------------------------------
+
+
+@struct.dataclass
+class Attention:
+    q_proj: Linear
+    k_proj: Linear
+    v_proj: Linear
+    o_proj: Linear
+
+
+@struct.dataclass
+class Mlp:
+    gate_proj: Linear
+    up_proj: Linear
+    down_proj: Linear
+
+
+@struct.dataclass
+class Block:
+    input_layernorm: jnp.ndarray
+    attn: Attention
+    post_attention_layernorm: jnp.ndarray
+    mlp: Mlp
+
+
+@struct.dataclass
+class Model:
+    embed_tokens: jnp.ndarray  # (vocab, hidden)
+    blocks: Tuple[Block, ...]
+    norm: jnp.ndarray
+    lm_head: Optional[Linear]  # None => tied to embed_tokens
+    cfg: ModelConfig = struct.field(pytree_node=False, default=None)
+
+
+@struct.dataclass
+class KVCache:
+    """Functional KV cache: preallocated, updated with dynamic slices."""
+
+    k: jnp.ndarray  # (layers, B, max_seq, kv_heads, head_dim)
+    v: jnp.ndarray
+    length: jnp.ndarray  # () int32 — tokens currently cached
+
+
+def init_cache(
+    cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (
+        cfg.num_hidden_layers,
+        batch,
+        max_seq,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------
+
+
+def _attention(
+    block_idx: int,
+    attn: Attention,
+    x: jnp.ndarray,  # (B, S, hidden)
+    positions: jnp.ndarray,  # (B, S)
+    inv_freq: jnp.ndarray,
+    cache: KVCache,
+    cfg: ModelConfig,
+) -> Tuple[jnp.ndarray, KVCache]:
+    batch, seq, _ = x.shape
+    nh, nkv, hd = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+
+    q = attn.q_proj(x).reshape(batch, seq, nh, hd)
+    k = attn.k_proj(x).reshape(batch, seq, nkv, hd)
+    v = attn.v_proj(x).reshape(batch, seq, nkv, hd)
+
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+
+    # insert into cache at the current offset
+    offset = cache.length
+    k_cache = jax.lax.dynamic_update_slice(
+        cache.k[block_idx], k.astype(cache.k.dtype), (0, offset, 0, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        cache.v[block_idx], v.astype(cache.v.dtype), (0, offset, 0, 0)
+    )
+    new_cache = KVCache(
+        k=cache.k.at[block_idx].set(k_cache),
+        v=cache.v.at[block_idx].set(v_cache),
+        length=cache.length,  # bumped once per step by the caller
+    )
+
+    max_seq = k_cache.shape[1]
+    group = nh // nkv
+    # (B, kv, group, S, D)
+    qg = q.reshape(batch, seq, nkv, group, hd).transpose(0, 2, 3, 1, 4)
+    kT = k_cache.transpose(0, 2, 3, 1)  # (B, kv, D, T)
+    scores = jnp.einsum(
+        "bkgsd,bkdt->bkgst", qg.astype(jnp.float32),
+        kT.astype(jnp.float32),
+    ) / jnp.sqrt(hd).astype(jnp.float32)
+
+    # causal + validity mask over cache positions
+    t_ids = jnp.arange(max_seq)[None, None, None, None, :]
+    q_pos = (offset + jnp.arange(seq))[None, None, None, :, None]
+    mask = t_ids <= q_pos
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    out = jnp.einsum(
+        "bkgst,btkd->bkgsd", probs, v_cache.astype(jnp.float32)
+    )
+    out = out.transpose(0, 3, 1, 2, 4).reshape(batch, seq, nh * hd)
+    return attn.o_proj(out.astype(x.dtype)), new_cache
+
+
+def _mlp(mlp: Mlp, x: jnp.ndarray) -> jnp.ndarray:
+    return mlp.down_proj(jax.nn.silu(mlp.gate_proj(x)) * mlp.up_proj(x))
+
+
+def forward(
+    model: Model,
+    tokens: jnp.ndarray,  # (B, S) int32
+    cache: KVCache,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the decoder over ``tokens`` starting at ``cache.length``.
+
+    Returns (logits (B, S, vocab) fp32, updated cache).
+    """
+    cfg = model.cfg
+    batch, seq = tokens.shape
+    x = model.embed_tokens[tokens].astype(dtype)
+    positions = cache.length + jnp.arange(seq)[None, :].astype(jnp.int32)
+    positions = jnp.broadcast_to(positions, (batch, seq))
+    inv_freq = rope_frequencies(cfg)
+
+    for i, block in enumerate(model.blocks):
+        h = rms_norm(x, block.input_layernorm, cfg.rms_norm_eps)
+        attn_out, cache = _attention(
+            i, block.attn, h, positions, inv_freq, cache, cfg
+        )
+        x = x + attn_out
+        h = rms_norm(x, block.post_attention_layernorm, cfg.rms_norm_eps)
+        x = x + _mlp(block.mlp, h)
+
+    x = rms_norm(x, model.norm, cfg.rms_norm_eps)
+    if model.lm_head is not None:
+        logits = model.lm_head(x)
+    else:
+        logits = jnp.dot(
+            x,
+            model.embed_tokens.T.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    cache = KVCache(k=cache.k, v=cache.v, length=cache.length + seq)
+    return logits.astype(jnp.float32), cache

@@ -1,0 +1,251 @@
+"""HF checkpoint ingestion: VPTQ safetensors → runtime pytrees.
+
+Counterpart of the reference loader (reference:
+vptq/layers/model_base.py:93-199), redesigned for TPU: instead of
+meta-device module surgery + accelerate device hooks, we read the
+safetensors shards on the host, *normalize* every quantized tensor into
+the TPU-native layout, and assemble a functional :class:`Model` pytree.
+Device placement is GSPMD's job (see ``vptq_tpu.parallel``), not the
+loader's.
+
+Normalization performed here (all host-side, one-time):
+  * undo the uint16-viewed-as-float16/int16 dtype trick
+    (reference vqlinear.py:110-113),
+  * unpack v1 bit-packed int32 index streams into separate uint16/uint8
+    planes (the v2-kernel layout, csrc/quant_gemv_v2.cu:28-33),
+  * pre-invert the input permutation (argsort done once, not per call
+    as in reference quant_gemm.py:208-211).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from vptq_tpu.config import QuantizationConfig, VQLinearConfig
+from vptq_tpu.layers.dense import DenseLinear
+from vptq_tpu.layers.vqlinear import VQLinear
+from vptq_tpu.models.llama import Attention, Block, Mlp, Model, ModelConfig
+from vptq_tpu.ops.packing import index_plane_dtype, unpack_index
+
+logger = logging.getLogger("vptq_tpu")
+
+__all__ = ["load_model", "load_state_dict", "normalize_vq_layer"]
+
+
+def _to_numpy_intview(x: jnp.ndarray) -> np.ndarray:
+    """uint16-payload tensor (stored as f16/i16/u16) → numpy uint16."""
+    if x.dtype in (jnp.float16, jnp.int16, jnp.uint16):
+        return np.asarray(x.view(jnp.uint16))
+    if x.dtype in (jnp.int64, jnp.int32):
+        return np.asarray(x).astype(np.uint16)
+    raise ValueError(f"unexpected stored index dtype {x.dtype}")
+
+
+def load_state_dict(checkpoint_dir: str) -> Dict[str, jnp.ndarray]:
+    """Read all safetensors shards (handles ``*.index.json`` maps)."""
+    from safetensors import safe_open
+
+    root = Path(checkpoint_dir)
+    index_files = sorted(root.glob("*.index.json"))
+    if index_files:
+        with open(index_files[0]) as f:
+            weight_map = json.load(f)["weight_map"]
+        shards = sorted({root / v for v in weight_map.values()})
+    else:
+        shards = sorted(root.glob("*.safetensors"))
+    if not shards:
+        raise FileNotFoundError(f"no safetensors found in {root}")
+
+    state: Dict[str, jnp.ndarray] = {}
+    for shard in shards:
+        with safe_open(shard, framework="flax") as f:
+            for key in f.keys():
+                state[key] = f.get_tensor(key)
+    return state
+
+
+def normalize_vq_layer(
+    prefix: str,
+    state: Dict[str, jnp.ndarray],
+    cfg: VQLinearConfig,
+    dtype=jnp.bfloat16,
+) -> VQLinear:
+    """Build one :class:`VQLinear` from checkpoint tensors.
+
+    ``prefix`` is the module path, e.g.
+    ``model.layers.0.self_attn.q_proj``. Tensor names follow the
+    reference module's state dict (vqlinear.py:107-240): the codebooks
+    are nn.Embedding weights (``centroids.weight``), indices/perm are
+    raw Parameters.
+    """
+
+    def pop(name: str) -> Optional[jnp.ndarray]:
+        return state.pop(f"{prefix}.{name}", None)
+
+    centroids = pop("centroids.weight")
+    if centroids is None:
+        raise KeyError(f"{prefix}: missing centroids.weight")
+    c, k, v = cfg.num_codebooks, cfg.num_main_centroids, cfg.vector_len
+    centroids = centroids.reshape(c, k, v).astype(dtype)
+
+    indices_raw = pop("indices")
+    res_ids = None
+    if cfg.is_indice_packed:
+        packed = np.asarray(indices_raw)
+        if packed.dtype != np.int32:
+            packed = packed.view(np.int32)
+        packed = packed.reshape(c, cfg.num_indices, cfg.packed_group_size)
+        main64, res64 = unpack_index(
+            packed, cfg.index_bits, cfg.group_size, cfg.res_index_bits
+        )
+        ids = jnp.asarray(main64.astype(index_plane_dtype(k)))
+        if res64 is not None:
+            res_ids = jnp.asarray(
+                res64.astype(index_plane_dtype(cfg.num_main_res_centroids))
+            )
+    else:
+        main = _to_numpy_intview(indices_raw).reshape(
+            c, cfg.num_indices, cfg.group_size
+        )
+        ids = jnp.asarray(main.astype(index_plane_dtype(k)))
+        res_raw = pop("res_indices")
+        if res_raw is not None:
+            res = _to_numpy_intview(res_raw).reshape(
+                c, cfg.num_indices, cfg.group_size
+            )
+            res_ids = jnp.asarray(
+                res.astype(index_plane_dtype(cfg.num_main_res_centroids))
+            )
+
+    res_centroids = pop("res_centroids.weight")
+    if res_centroids is not None:
+        res_centroids = res_centroids.reshape(
+            c, cfg.num_main_res_centroids, v
+        ).astype(dtype)
+
+    outlier_centroids = pop("outlier_centroids.weight")
+    outlier_ids = None
+    if outlier_centroids is not None:
+        outlier_centroids = outlier_centroids.reshape(
+            1, cfg.num_outlier_centroids, cfg.outlier_vector_len
+        ).astype(dtype)
+        outlier_raw = pop("outlier_indices")
+        outlier = _to_numpy_intview(outlier_raw).reshape(
+            1, cfg.outlier_num_indices, cfg.outlier_size
+        )
+        outlier_ids = jnp.asarray(
+            outlier.astype(index_plane_dtype(cfg.num_outlier_centroids))
+        )
+
+    perm_raw = pop("perm")
+    inv_perm = None
+    if perm_raw is not None and cfg.enable_perm:
+        perm = _to_numpy_intview(perm_raw).astype(np.int64)
+        inv_perm = jnp.asarray(np.argsort(perm), dtype=jnp.int32)
+
+    weight_scale = pop("weight_scale")
+    weight_bias = pop("weight_bias")
+    bias = pop("bias")
+
+    return VQLinear(
+        centroids=centroids,
+        ids=ids,
+        res_centroids=res_centroids,
+        res_ids=res_ids,
+        outlier_centroids=outlier_centroids,
+        outlier_ids=outlier_ids,
+        inv_perm=inv_perm,
+        weight_scale=None
+        if weight_scale is None
+        else weight_scale.astype(dtype),
+        weight_bias=None
+        if weight_bias is None
+        else weight_bias.astype(dtype),
+        bias=None if bias is None else bias.astype(dtype),
+        cfg=cfg,
+    )
+
+
+def _linear(
+    prefix: str,
+    state: Dict[str, jnp.ndarray],
+    qcfg: QuantizationConfig,
+    dtype,
+) -> DenseLinear | VQLinear:
+    layer_cfg = qcfg.lookup(prefix)
+    if layer_cfg is not None:
+        return normalize_vq_layer(prefix, state, layer_cfg, dtype)
+    weight = state.pop(f"{prefix}.weight")
+    bias = state.pop(f"{prefix}.bias", None)
+    return DenseLinear(
+        weight=weight.astype(dtype),
+        bias=None if bias is None else bias.astype(dtype),
+    )
+
+
+def load_model(
+    checkpoint_dir: str, dtype=jnp.bfloat16
+) -> Model:
+    """Load a VPTQ HF checkpoint directory into a :class:`Model`."""
+    root = Path(checkpoint_dir)
+    with open(root / "config.json") as f:
+        hf_config = json.load(f)
+
+    model_cfg = ModelConfig.from_hf_dict(hf_config)
+    qcfg = QuantizationConfig.from_dict(
+        hf_config.get("quantization_config", {})
+    )
+    state = load_state_dict(checkpoint_dir)
+
+    blocks = []
+    for i in range(model_cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        attn = Attention(
+            q_proj=_linear(f"{p}.self_attn.q_proj", state, qcfg, dtype),
+            k_proj=_linear(f"{p}.self_attn.k_proj", state, qcfg, dtype),
+            v_proj=_linear(f"{p}.self_attn.v_proj", state, qcfg, dtype),
+            o_proj=_linear(f"{p}.self_attn.o_proj", state, qcfg, dtype),
+        )
+        mlp = Mlp(
+            gate_proj=_linear(f"{p}.mlp.gate_proj", state, qcfg, dtype),
+            up_proj=_linear(f"{p}.mlp.up_proj", state, qcfg, dtype),
+            down_proj=_linear(f"{p}.mlp.down_proj", state, qcfg, dtype),
+        )
+        blocks.append(
+            Block(
+                input_layernorm=state.pop(
+                    f"{p}.input_layernorm.weight"
+                ).astype(jnp.float32),
+                attn=attn,
+                post_attention_layernorm=state.pop(
+                    f"{p}.post_attention_layernorm.weight"
+                ).astype(jnp.float32),
+                mlp=mlp,
+            )
+        )
+
+    embed = state.pop("model.embed_tokens.weight").astype(dtype)
+    norm = state.pop("model.norm.weight").astype(jnp.float32)
+
+    lm_head = None
+    if not model_cfg.tie_word_embeddings:
+        if "lm_head.weight" in state or qcfg.lookup("lm_head") is not None:
+            lm_head = _linear("lm_head", state, qcfg, dtype)
+
+    leftover = [k for k in state if "rotary" not in k]
+    if leftover:
+        logger.warning("unused checkpoint tensors: %s", leftover[:8])
+
+    return Model(
+        embed_tokens=embed,
+        blocks=tuple(blocks),
+        norm=norm,
+        lm_head=lm_head,
+        cfg=model_cfg,
+    )

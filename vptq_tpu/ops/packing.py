@@ -1,0 +1,140 @@
+"""Bit-packing utilities for VPTQ index streams.
+
+Reproduces, in numpy, the exact on-disk bit layout produced by the
+reference packer (reference: vptq/utils/pack.py:26-139): per scalar the
+main and residual indices are merged as ``(res << index_bits) | main``,
+the merged values are serialized LSB-first into one contiguous bitstream
+per (codebook, out-vector) row, and the stream is chunked into int32
+words (bit ``i`` of a word is stream position ``i``), zero-padded at the
+end of each row.
+
+These functions run on the host at checkpoint-ingestion time: the TPU
+runtime never touches the packed format — indices are normalized into
+separate uint16/uint8 planes (the layout the reference's v2 kernel uses,
+csrc/quant_gemv_v2.cu:28-33), which map directly onto TPU vector loads.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "pack_index",
+    "unpack_index",
+    "view_as_uint16",
+    "index_plane_dtype",
+]
+
+
+def view_as_uint16(a: np.ndarray) -> np.ndarray:
+    """Undo the checkpoint dtype trick.
+
+    Index/perm tensors are stored as uint16 bit patterns *viewed* as
+    float16 or int16 "to avoid nccl and safetensor check"
+    (reference vqlinear.py:110-113). This restores the integer view.
+    """
+    if a.dtype in (np.float16, np.int16, np.uint16):
+        return a.view(np.uint16)
+    if a.dtype in (np.int64, np.int32, np.uint32, np.uint64):
+        return a.astype(np.uint16)
+    raise ValueError(f"unexpected index dtype {a.dtype}")
+
+
+def index_plane_dtype(num_centroids: int) -> np.dtype:
+    """Smallest unsigned dtype able to hold centroid ids.
+
+    Matches the reference v2 kernel's storage rule: uint8 for <=256
+    centroids, uint16 otherwise (tests/test_quant_gemv.py:24, and
+    csrc/dispatch_macros.h:45-89).
+    """
+    return np.dtype(np.uint8) if num_centroids <= 256 else np.dtype(np.uint16)
+
+
+def pack_index(
+    indices: np.ndarray,
+    index_bits: int,
+    res_indices: Optional[np.ndarray] = None,
+    res_bits: int = 0,
+) -> np.ndarray:
+    """Bit-pack main (+ residual) indices into int32 words.
+
+    Args:
+        indices: integer array (..., group_size) of main centroid ids.
+        index_bits: bits per main id.
+        res_indices: optional residual ids, same shape.
+        res_bits: bits per residual id.
+
+    Returns:
+        int32 array (..., ceil(group_size * (index_bits+res_bits) / 32)).
+
+    Semantics of reference pack.py:26-102.
+    """
+    total_bits = index_bits + res_bits
+    if total_bits > 32:
+        raise ValueError(f"total index bits {total_bits} must be <= 32")
+
+    merged = indices.astype(np.uint64)
+    if res_indices is not None:
+        merged = merged | (res_indices.astype(np.uint64) << index_bits)
+
+    lead_shape = merged.shape[:-1]
+    group = merged.shape[-1]
+
+    # Serialize LSB-first: bits (..., group, total_bits).
+    shifts = np.arange(total_bits, dtype=np.uint64)
+    bits = (merged[..., None] >> shifts) & np.uint64(1)
+    bits = bits.reshape(*lead_shape, group * total_bits).astype(np.uint8)
+
+    pad = (-bits.shape[-1]) % 32
+    if pad:
+        bits = np.pad(
+            bits, [(0, 0)] * len(lead_shape) + [(0, pad)], constant_values=0
+        )
+    bits = bits.reshape(*lead_shape, -1, 32)
+
+    word_shifts = np.arange(32, dtype=np.uint64)
+    words = (bits.astype(np.uint64) << word_shifts).sum(axis=-1)
+    return words.astype(np.uint32).view(np.int32)
+
+
+def unpack_index(
+    packed: np.ndarray,
+    index_bits: int,
+    group_size: int,
+    res_bits: int = 0,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Inverse of :func:`pack_index`.
+
+    Args:
+        packed: int32/uint32 array (..., packed_group_size).
+        index_bits: bits per main id.
+        group_size: ids per row (reference calls this num_elements).
+        res_bits: bits per residual id (0 disables residual).
+
+    Returns:
+        (main_ids, res_ids) as int64 arrays (..., group_size); res_ids is
+        None when ``res_bits == 0``.
+
+    Semantics of reference pack.py:105-139.
+    """
+    total_bits = index_bits + res_bits
+    words = packed.view(np.uint32).astype(np.uint64)
+    lead_shape = words.shape[:-1]
+
+    word_shifts = np.arange(32, dtype=np.uint64)
+    bits = (words[..., None] >> word_shifts) & np.uint64(1)
+    bits = bits.reshape(*lead_shape, -1)
+    used = group_size * total_bits
+    bits = bits[..., :used].reshape(*lead_shape, group_size, total_bits)
+
+    shifts = np.arange(total_bits, dtype=np.uint64)
+    merged = (bits << shifts).sum(axis=-1)
+
+    main = (merged & np.uint64((1 << index_bits) - 1)).astype(np.int64)
+    res = None
+    if res_bits > 0:
+        res = ((merged >> np.uint64(index_bits)) &
+               np.uint64((1 << res_bits) - 1)).astype(np.int64)
+    return main, res

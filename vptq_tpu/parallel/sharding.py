@@ -1,0 +1,149 @@
+"""GSPMD sharding for VPTQ models.
+
+The reference has no in-repo parallelism — multi-GPU is accelerate's
+layer-to-device placement (reference: vptq/layers/model_base.py:186-194)
+and TP lives in an external fork (documents/deepseek.md:36-88). Here
+parallelism is first-class and TPU-native: one ``jax.sharding.Mesh``
+with ``("data", "model")`` axes, Megatron-style tensor parallelism on
+the quantized linears, and XLA-inserted collectives over ICI.
+
+TP layout per layer role:
+  * column-parallel (q/k/v/gate/up): index rows (out_features vectors)
+    sharded over "model"; codebooks replicated (they are ~MB scale —
+    SURVEY.md §5.8).
+  * row-parallel (o/down): index columns (group_size / in_features)
+    sharded over "model"; outputs all-reduced by GSPMD.
+  * KV cache sharded over heads; activations data-parallel on batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vptq_tpu.layers.dense import DenseLinear
+from vptq_tpu.layers.vqlinear import VQLinear
+from vptq_tpu.models.llama import Attention, Block, KVCache, Mlp, Model
+
+__all__ = [
+    "make_mesh",
+    "shard_model",
+    "shard_cache",
+    "replicated",
+]
+
+
+def make_mesh(
+    data: int = 1, model: Optional[int] = None, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if model is None:
+        model = len(devices) // data
+    if data * model != len(devices):
+        raise ValueError(
+            f"mesh {data}x{model} != {len(devices)} devices"
+        )
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def _put(x, mesh: Mesh, spec: P):
+    if x is None:
+        return None
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _shard_vq(layer: VQLinear, mesh: Mesh, col_parallel: bool) -> VQLinear:
+    if col_parallel:
+        # shard out_features: ids axis 1 (num_indices = out vectors)
+        ids_spec = P(None, "model", None)
+        outlier_ids_spec = P(None, "model", None)
+        bias_spec = P("model")
+        norm_spec = P()  # (in_features,) replicated
+    else:
+        # shard in_features: ids axis 2 (group_size columns)
+        ids_spec = P(None, None, "model")
+        outlier_ids_spec = P(None, None, "model")
+        bias_spec = P()
+        norm_spec = P("model")
+    # perm mixes arbitrary input columns; keep it replicated and let
+    # GSPMD resolve the gather.
+    return VQLinear(
+        centroids=_put(layer.centroids, mesh, P()),
+        ids=_put(layer.ids, mesh, ids_spec),
+        res_centroids=_put(layer.res_centroids, mesh, P()),
+        res_ids=_put(layer.res_ids, mesh, ids_spec),
+        outlier_centroids=_put(layer.outlier_centroids, mesh, P()),
+        outlier_ids=_put(layer.outlier_ids, mesh, outlier_ids_spec),
+        inv_perm=_put(layer.inv_perm, mesh, P()),
+        weight_scale=_put(layer.weight_scale, mesh, norm_spec),
+        weight_bias=_put(layer.weight_bias, mesh, norm_spec),
+        bias=_put(layer.bias, mesh, bias_spec),
+        cfg=layer.cfg,
+    )
+
+
+def _shard_linear(layer, mesh: Mesh, col_parallel: bool):
+    if isinstance(layer, VQLinear):
+        return _shard_vq(layer, mesh, col_parallel)
+    weight_spec = P("model", None) if col_parallel else P(None, "model")
+    bias_spec = P("model") if col_parallel else P()
+    return DenseLinear(
+        weight=_put(layer.weight, mesh, weight_spec),
+        bias=_put(layer.bias, mesh, bias_spec),
+    )
+
+
+def shard_model(model: Model, mesh: Mesh) -> Model:
+    """Place every parameter with its TP PartitionSpec."""
+    blocks = []
+    for block in model.blocks:
+        attn = Attention(
+            q_proj=_shard_linear(block.attn.q_proj, mesh, True),
+            k_proj=_shard_linear(block.attn.k_proj, mesh, True),
+            v_proj=_shard_linear(block.attn.v_proj, mesh, True),
+            o_proj=_shard_linear(block.attn.o_proj, mesh, False),
+        )
+        mlp = Mlp(
+            gate_proj=_shard_linear(block.mlp.gate_proj, mesh, True),
+            up_proj=_shard_linear(block.mlp.up_proj, mesh, True),
+            down_proj=_shard_linear(block.mlp.down_proj, mesh, False),
+        )
+        blocks.append(
+            Block(
+                input_layernorm=_put(block.input_layernorm, mesh, P()),
+                attn=attn,
+                post_attention_layernorm=_put(
+                    block.post_attention_layernorm, mesh, P()
+                ),
+                mlp=mlp,
+            )
+        )
+    return Model(
+        embed_tokens=_put(model.embed_tokens, mesh, P()),
+        blocks=tuple(blocks),
+        norm=_put(model.norm, mesh, P()),
+        lm_head=None
+        if model.lm_head is None
+        else _shard_linear(model.lm_head, mesh, True),
+        cfg=model.cfg,
+    )
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    """KV cache: batch over "data", heads over "model"."""
+    kv_spec = P(None, "data", None, "model", None)
+    return KVCache(
+        k=_put(cache.k, mesh, kv_spec),
+        v=_put(cache.v, mesh, kv_spec),
+        length=_put(cache.length, mesh, P()),
+    )
+
+
+def replicated(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: _put(x, mesh, P()), tree
+    )

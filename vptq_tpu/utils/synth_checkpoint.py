@@ -1,0 +1,196 @@
+"""Write synthetic VPTQ checkpoints in the exact community on-disk
+format.
+
+With no network egress the real VPTQ-community checkpoints cannot be
+downloaded, so tests and benchmarks build random checkpoints that are
+byte-layout-faithful to the reference format (packed int32 index
+streams, uint16-viewed-as-int16 perms, ``quantization_config`` in
+config.json as written by reference vptq/utils/pack.py:147-242) and
+push them through the full ingestion path.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from vptq_tpu.config import VQLinearConfig
+from vptq_tpu.models.llama import ModelConfig
+from vptq_tpu.ops.packing import pack_index
+from vptq_tpu.utils.synth import make_config, make_numpy_planes
+
+__all__ = ["write_synthetic_checkpoint", "tiny_model_config"]
+
+
+def tiny_model_config(**overrides) -> ModelConfig:
+    defaults = dict(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=True,
+        model_type="llama",
+    )
+    defaults.update(overrides)
+    return ModelConfig(**defaults)
+
+
+def _layer_tensors(
+    prefix: str,
+    cfg: VQLinearConfig,
+    seed: int,
+    dtype=np.float16,
+) -> Dict[str, np.ndarray]:
+    """Tensors of one quantized linear, checkpoint-format."""
+    planes = make_numpy_planes(cfg, seed=seed, dtype=dtype)
+    c, k, v = cfg.num_codebooks, cfg.num_main_centroids, cfg.vector_len
+
+    out: Dict[str, np.ndarray] = {}
+    out[f"{prefix}.centroids.weight"] = planes["centroids"].reshape(c, k * v)
+    if cfg.is_indice_packed:
+        res64 = (
+            planes["res_ids"].astype(np.int64)
+            if planes["res_ids"] is not None
+            else None
+        )
+        out[f"{prefix}.indices"] = pack_index(
+            planes["ids"].astype(np.int64),
+            cfg.index_bits,
+            res64,
+            cfg.res_index_bits,
+        )
+    else:
+        # uint16 viewed as int16/f16 (reference vqlinear.py:110-113)
+        view = np.float16 if cfg.indices_as_float else np.int16
+        out[f"{prefix}.indices"] = (
+            planes["ids"].astype(np.uint16).view(view)
+        )
+        if planes["res_ids"] is not None:
+            out[f"{prefix}.res_indices"] = (
+                planes["res_ids"].astype(np.uint16).view(view)
+            )
+    if planes["res_centroids"] is not None:
+        kr = cfg.num_main_res_centroids
+        out[f"{prefix}.res_centroids.weight"] = planes[
+            "res_centroids"
+        ].reshape(c, kr * v)
+    if planes["outlier_centroids"] is not None:
+        ko, vo = cfg.num_outlier_centroids, cfg.outlier_vector_len
+        out[f"{prefix}.outlier_centroids.weight"] = planes[
+            "outlier_centroids"
+        ].reshape(1, ko * vo)
+        view = np.float16 if cfg.indices_as_float else np.int16
+        out[f"{prefix}.outlier_indices"] = (
+            planes["outlier_ids"].astype(np.uint16).view(view)
+        )
+    if planes["perm"] is not None:
+        out[f"{prefix}.perm"] = planes["perm"].view(np.int16)
+    if planes["weight_scale"] is not None:
+        out[f"{prefix}.weight_scale"] = planes["weight_scale"].astype(dtype)
+        out[f"{prefix}.weight_bias"] = planes["weight_bias"].astype(dtype)
+    if planes["bias"] is not None:
+        out[f"{prefix}.bias"] = planes["bias"].astype(dtype)
+    return out
+
+
+def write_synthetic_checkpoint(
+    path: str,
+    model_cfg: Optional[ModelConfig] = None,
+    vq_kwargs: Optional[dict] = None,
+    seed: int = 0,
+    dtype=np.float16,
+) -> Path:
+    """Create ``path`` with config.json + model.safetensors.
+
+    ``vq_kwargs`` override :func:`make_config` geometry knobs (per-shape
+    fields in/out_features are filled in per projection).
+    """
+    from safetensors.numpy import save_file
+
+    mc = model_cfg or tiny_model_config()
+    vq_kwargs = dict(vq_kwargs or {})
+    root = Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+
+    rng = np.random.default_rng(seed)
+    h = mc.hidden_size
+    q_out = mc.num_attention_heads * mc.head_dim
+    kv_out = mc.num_key_value_heads * mc.head_dim
+    inter = mc.intermediate_size
+
+    proj_shapes = {
+        "self_attn.q_proj": (h, q_out),
+        "self_attn.k_proj": (h, kv_out),
+        "self_attn.v_proj": (h, kv_out),
+        "self_attn.o_proj": (q_out, h),
+        "mlp.gate_proj": (h, inter),
+        "mlp.up_proj": (h, inter),
+        "mlp.down_proj": (inter, h),
+    }
+
+    tensors: Dict[str, np.ndarray] = {}
+    config_for_layers: Dict[str, dict] = {}
+    for i in range(mc.num_hidden_layers):
+        for name, (in_f, out_f) in proj_shapes.items():
+            prefix = f"model.layers.{i}.{name}"
+            cfg = make_config(
+                in_features=in_f, out_features=out_f, **vq_kwargs
+            )
+            tensors.update(
+                _layer_tensors(
+                    prefix, cfg, seed=int(rng.integers(1 << 31)),
+                    dtype=dtype,
+                )
+            )
+            config_for_layers[prefix] = cfg.to_dict()
+        tensors[f"model.layers.{i}.input_layernorm.weight"] = (
+            np.ones(h, dtype=dtype)
+            + 0.01 * rng.standard_normal(h).astype(dtype)
+        )
+        tensors[f"model.layers.{i}.post_attention_layernorm.weight"] = (
+            np.ones(h, dtype=dtype)
+            + 0.01 * rng.standard_normal(h).astype(dtype)
+        )
+
+    tensors["model.embed_tokens.weight"] = (
+        0.02 * rng.standard_normal((mc.vocab_size, h))
+    ).astype(dtype)
+    tensors["model.norm.weight"] = np.ones(h, dtype=dtype)
+    if not mc.tie_word_embeddings:
+        tensors["lm_head.weight"] = (
+            0.02 * rng.standard_normal((mc.vocab_size, h))
+        ).astype(dtype)
+
+    save_file(tensors, root / "model.safetensors")
+
+    hf_config = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": mc.model_type,
+        "vocab_size": mc.vocab_size,
+        "hidden_size": mc.hidden_size,
+        "intermediate_size": mc.intermediate_size,
+        "num_hidden_layers": mc.num_hidden_layers,
+        "num_attention_heads": mc.num_attention_heads,
+        "num_key_value_heads": mc.num_key_value_heads,
+        "head_dim": mc.head_dim,
+        "rms_norm_eps": mc.rms_norm_eps,
+        "rope_theta": mc.rope_theta,
+        "tie_word_embeddings": mc.tie_word_embeddings,
+        "torch_dtype": "float16" if dtype == np.float16 else "bfloat16",
+        "quantization_config": {
+            "quant_method": "vptq",
+            "config_for_layers": config_for_layers,
+        },
+    }
+    with open(root / "config.json", "w") as f:
+        json.dump(hf_config, f, indent=2)
+    return root
