@@ -1,0 +1,148 @@
+"""Headline benchmark: Llama-2-7B-shape decode throughput on one TPU chip.
+
+Method follows the reference's (AQLM protocol, BASELINE.md): start from
+a 1-token prompt and measure steady-state decode tok/s. The baseline is
+the reference's published LLaMA-2 7B @ 2-bit on A100: 39.9 tok/s
+(reference README.md:274).
+
+Weights are synthetic (no network egress to fetch real community
+checkpoints) in the int8 runtime format — decode speed is independent
+of weight values.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TOK_S = 39.9  # LLaMA-2 7B @ 2.02 bit, A100 (README.md:274)
+
+
+def build_7b_int8(rng):
+    import jax.numpy as jnp
+
+    from vptq_tpu.layers.runtime import Int8Linear, pick_group
+    from vptq_tpu.models.llama import Attention, Block, Mlp, Model, ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=32,
+        head_dim=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        model_type="llama",
+    )
+
+    def lin(in_f, out_f):
+        g = pick_group(in_f)
+        in_p = in_f + ((-in_f) % g)
+        wq = jnp.asarray(
+            rng.integers(-127, 128, size=(out_f, in_p)), jnp.int8
+        )
+        scales = jnp.asarray(
+            0.005 * (1 + rng.random((in_p // g, out_f))), jnp.float32
+        )
+        return Int8Linear(wq=wq, scales=scales, bias=None)
+
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    blocks = []
+    for _ in range(cfg.num_hidden_layers):
+        blocks.append(
+            Block(
+                input_layernorm=jnp.ones(h, jnp.float32),
+                attn=Attention(
+                    q_proj=lin(h, h),
+                    k_proj=lin(h, h),
+                    v_proj=lin(h, h),
+                    o_proj=lin(h, h),
+                ),
+                post_attention_layernorm=jnp.ones(h, jnp.float32),
+                mlp=Mlp(
+                    gate_proj=lin(h, inter),
+                    up_proj=lin(h, inter),
+                    down_proj=lin(inter, h),
+                ),
+            )
+        )
+    embed = jnp.asarray(
+        0.01 * rng.standard_normal((cfg.vocab_size, h)), jnp.bfloat16
+    )
+    from vptq_tpu.layers.dense import DenseLinear
+
+    lm_head = DenseLinear(
+        weight=jnp.asarray(
+            0.01 * rng.standard_normal((cfg.vocab_size, h)), jnp.bfloat16
+        )
+    )
+    return Model(
+        embed_tokens=embed,
+        blocks=tuple(blocks),
+        norm=jnp.ones(h, jnp.float32),
+        lm_head=lm_head,
+        cfg=cfg,
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vptq_tpu.models.llama import init_cache
+    from vptq_tpu.serving.generate import decode_loop
+
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    max_seq = max(256, steps + 8)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    model = build_7b_int8(rng)
+    print(f"# model built in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    cache = init_cache(model.cfg, 1, max_seq, jnp.bfloat16)
+    first = jnp.asarray([1], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    temp = jnp.asarray(0.0, jnp.float32)
+
+    t0 = time.time()
+    toks, cache2 = decode_loop(
+        model, first, cache, key, temp, steps=steps
+    )
+    toks.block_until_ready()
+    _ = int(np.asarray(toks)[-1, 0])  # force full sync
+    print(f"# warmup+compile {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # timed run (recreate cache; decode_loop donates it)
+    times = []
+    for _ in range(3):
+        cache = init_cache(model.cfg, 1, max_seq, jnp.bfloat16)
+        t0 = time.time()
+        toks, cache = decode_loop(
+            model, first, cache, key, temp, steps=steps
+        )
+        _ = int(np.asarray(toks)[-1, 0])  # host sync
+        times.append(time.time() - t0)
+
+    best = min(times)
+    tok_s = steps / best
+    print(
+        json.dumps(
+            {
+                "metric": "llama2_7b_decode_tok_s_1chip",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Runtime weight formats: the TPU-native re-encoding of VPTQ layers.
+
+Measured on v5e (see ARCHITECTURE.md): per-element codebook gather runs
+at ~0.36 G ids/s through XLA and Mosaic's ``dynamic_gather`` handles
+only 8-sublane tables, so the CUDA-style fused gather-GEMV (reference
+csrc/kernels/quant_gemv.cuh) cannot be expressed efficiently on TPU
+vector hardware. Instead, the loader reconstructs the exact VPTQ weight
+ONCE at ingestion (host/XLA gather) and re-encodes it into a dense
+runtime format the MXU eats at HBM speed-of-light:
+
+  * ``int8``  — per-(row, in-group) scaled int8, group == kernel
+    in-tile (default 2048). RMS re-encoding error ~0.4% — two orders
+    of magnitude inside the reference's own fused-kernel tolerance
+    (rtol=atol=0.2, reference tests/test_quant_gemv.py:183).
+  * ``bf16``  — bit-exact dequantized weights (2x memory of int8).
+  * ``codebook`` — keep the compressed VQLinear and gather per call
+    (exact + minimal HBM, but orders of magnitude slower; for
+    memory-constrained or verification use).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax.numpy as jnp
+from flax import struct
+
+from vptq_tpu.layers.dense import DenseLinear
+from vptq_tpu.layers.vqlinear import VQLinear
+from vptq_tpu.ops.dequant import dequant_weight
+
+__all__ = ["Int8Linear", "to_runtime", "RUNTIME_FORMATS"]
+
+RUNTIME_FORMATS = ("int8", "bf16", "codebook")
+
+# Scale-group width along in_features == the w8 kernel's in_tile, so
+# scales apply on the accumulator (output side). Chosen per layer:
+# the largest tile whose zero-padding waste stays small.
+GROUP_CANDIDATES = (2048, 1024, 512)
+
+
+def pick_group(in_features: int, max_waste: float = 0.03) -> int:
+    for g in GROUP_CANDIDATES:
+        pad = (-in_features) % g
+        if pad / (in_features + pad) <= max_waste:
+            return g
+    return GROUP_CANDIDATES[-1]
+
+
+@struct.dataclass
+class Int8Linear:
+    """Dense int8 weights + per-(in-group, out-row) scales.
+
+    ``wq`` is zero-padded along in_features to a multiple of the scale
+    group; ``__call__`` pads activations to match (zeros contribute
+    nothing to the dot product).
+    """
+
+    wq: jnp.ndarray  # (out, in_padded) int8
+    scales: jnp.ndarray  # (in_padded // group, out) f32
+    bias: Optional[jnp.ndarray] = None
+
+    @property
+    def group(self) -> int:
+        return self.wq.shape[1] // self.scales.shape[0]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from vptq_tpu.ops.pallas_gemm import w8_matmul
+        from vptq_tpu.ops.quant_matmul import use_pallas
+
+        in_padded = self.wq.shape[1]
+        if x.shape[-1] != in_padded:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, in_padded - x.shape[-1])]
+            x = jnp.pad(x, pad)
+
+        if use_pallas():
+            out = w8_matmul(
+                x, self.wq, self.scales,
+                out_tile=512, in_tile=self.group,
+            )
+        else:
+            w = (
+                self.wq.astype(jnp.float32).reshape(
+                    self.wq.shape[0], -1, self.group
+                )
+                * self.scales.T[:, :, None]
+            ).reshape(self.wq.shape)
+            out = jnp.dot(
+                x.astype(jnp.float32), w.T,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        if self.bias is not None:
+            out = out + self.bias.astype(out.dtype)
+        return out
+
+    @property
+    def out_features(self) -> int:
+        return self.wq.shape[0]
+
+
+RuntimeLinear = Union[VQLinear, DenseLinear, Int8Linear]
+
+
+def _exact_weight(layer: VQLinear, dtype=jnp.float32) -> "np.ndarray":
+    """Exact dequant on the host (numpy): the one-time re-encode path.
+
+    numpy's gather is ~100x faster than XLA-on-TPU gather for this
+    shape of work, and keeps the TPU free during model load.
+    """
+    import jax
+    import numpy as np
+
+    def host(x, d=None):
+        if x is None:
+            return None
+        a = jax.device_get(x)
+        if a.dtype == jnp.bfloat16:
+            a = a.astype(np.float32)
+        a = np.asarray(a)
+        return a if d is None else a.astype(d)
+
+    return dequant_weight(
+        centroids=host(layer.centroids, np.float32),
+        ids=host(layer.ids, np.int64),
+        res_centroids=host(layer.res_centroids, np.float32),
+        res_ids=host(layer.res_ids, np.int64)
+        if layer.res_ids is not None
+        else None,
+        outlier_centroids=host(layer.outlier_centroids, np.float32),
+        outlier_ids=host(layer.outlier_ids, np.int64)
+        if layer.outlier_ids is not None
+        else None,
+        inv_perm=host(layer.inv_perm),
+        weight_scale=host(layer.weight_scale, np.float32),
+        weight_bias=host(layer.weight_bias, np.float32),
+        cfg=layer.cfg,
+        xp=np,
+    )
+
+
+def to_int8(layer: VQLinear, group: Optional[int] = None) -> Int8Linear:
+    """Exact dequant → symmetric per-(row, group) int8 re-encode."""
+    import numpy as np
+
+    w = _exact_weight(layer)  # numpy f32 (out, in)
+    group = group or pick_group(w.shape[1])
+    pad = (-w.shape[1]) % group
+    if pad:
+        w = np.pad(w, ((0, 0), (0, pad)))
+    out_f, in_p = w.shape
+    g = w.reshape(out_f, in_p // group, group)
+    absmax = np.max(np.abs(g), axis=-1)  # (out, n_groups)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(g / scale[:, :, None]), -127, 127).astype(
+        np.int8
+    )
+    return Int8Linear(
+        wq=jnp.asarray(q.reshape(out_f, in_p)),
+        scales=jnp.asarray(np.ascontiguousarray(scale.T)),
+        bias=layer.bias,
+    )
+
+
+def to_bf16(layer: VQLinear) -> DenseLinear:
+    w = _exact_weight(layer)
+    return DenseLinear(
+        weight=jnp.asarray(w, jnp.bfloat16), bias=layer.bias
+    )
+
+
+def to_runtime(layer, fmt: str):
+    """Convert any linear to the requested runtime format."""
+    if fmt not in RUNTIME_FORMATS:
+        raise ValueError(f"unknown runtime format {fmt!r}")
+    if not isinstance(layer, VQLinear):
+        return layer  # dense stays dense
+    if fmt == "codebook":
+        return layer
+    if fmt == "int8":
+        return to_int8(layer)
+    return to_bf16(layer)

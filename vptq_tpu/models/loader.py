@@ -190,9 +190,17 @@ def _linear(
 
 
 def load_model(
-    checkpoint_dir: str, dtype=jnp.bfloat16
+    checkpoint_dir: str,
+    dtype=jnp.bfloat16,
+    runtime_format: str = "codebook",
 ) -> Model:
-    """Load a VPTQ HF checkpoint directory into a :class:`Model`."""
+    """Load a VPTQ HF checkpoint directory into a :class:`Model`.
+
+    ``runtime_format``: "codebook" keeps compressed VQ layers (exact,
+    minimal memory, slow matmul); "int8" / "bf16" re-encode each layer
+    once into the dense TPU runtime format (see
+    vptq_tpu/layers/runtime.py).
+    """
     root = Path(checkpoint_dir)
     with open(root / "config.json") as f:
         hf_config = json.load(f)
@@ -203,19 +211,26 @@ def load_model(
     )
     state = load_state_dict(checkpoint_dir)
 
+    from vptq_tpu.layers.runtime import to_runtime
+
+    def lin(prefix):
+        return to_runtime(
+            _linear(prefix, state, qcfg, dtype), runtime_format
+        )
+
     blocks = []
     for i in range(model_cfg.num_hidden_layers):
         p = f"model.layers.{i}"
         attn = Attention(
-            q_proj=_linear(f"{p}.self_attn.q_proj", state, qcfg, dtype),
-            k_proj=_linear(f"{p}.self_attn.k_proj", state, qcfg, dtype),
-            v_proj=_linear(f"{p}.self_attn.v_proj", state, qcfg, dtype),
-            o_proj=_linear(f"{p}.self_attn.o_proj", state, qcfg, dtype),
+            q_proj=lin(f"{p}.self_attn.q_proj"),
+            k_proj=lin(f"{p}.self_attn.k_proj"),
+            v_proj=lin(f"{p}.self_attn.v_proj"),
+            o_proj=lin(f"{p}.self_attn.o_proj"),
         )
         mlp = Mlp(
-            gate_proj=_linear(f"{p}.mlp.gate_proj", state, qcfg, dtype),
-            up_proj=_linear(f"{p}.mlp.up_proj", state, qcfg, dtype),
-            down_proj=_linear(f"{p}.mlp.down_proj", state, qcfg, dtype),
+            gate_proj=lin(f"{p}.mlp.gate_proj"),
+            up_proj=lin(f"{p}.mlp.up_proj"),
+            down_proj=lin(f"{p}.mlp.down_proj"),
         )
         blocks.append(
             Block(
@@ -236,7 +251,7 @@ def load_model(
     lm_head = None
     if not model_cfg.tie_word_embeddings:
         if "lm_head.weight" in state or qcfg.lookup("lm_head") is not None:
-            lm_head = _linear("lm_head", state, qcfg, dtype)
+            lm_head = lin("lm_head")
 
     leftover = [k for k in state if "rotary" not in k]
     if leftover:

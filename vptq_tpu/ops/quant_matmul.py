@@ -35,13 +35,16 @@ def set_default_impl(impl: str) -> None:
     _IMPL = impl
 
 
-def _use_pallas() -> bool:
+def use_pallas() -> bool:
     if _IMPL == "xla":
         return False
     backend = jax.default_backend()
     if _IMPL == "pallas":
         return True
     return backend == "tpu"
+
+
+_use_pallas = use_pallas  # backwards-compat alias
 
 
 def quant_matmul(x: jnp.ndarray, layer: "VQLinear") -> jnp.ndarray:
@@ -60,12 +63,11 @@ def quant_matmul(x: jnp.ndarray, layer: "VQLinear") -> jnp.ndarray:
             f"activation dim {x.shape[-1]} != in_features {cfg.in_features}"
         )
 
-    if _use_pallas():
-        from vptq_tpu.ops.pallas_gemm import quant_matmul_pallas
-
-        out = quant_matmul_pallas(x, layer)
-    else:
-        out = _quant_matmul_xla(x, layer)
+    # The compressed-codebook path always goes through XLA gather: the
+    # per-element gather cannot be beaten in-kernel on TPU (see
+    # ARCHITECTURE.md); fast serving uses the int8/bf16 runtime formats
+    # in vptq_tpu.layers.runtime instead.
+    out = _quant_matmul_xla(x, layer)
 
     if layer.bias is not None:
         out = out + layer.bias.astype(out.dtype)

@@ -1,10 +1,11 @@
-"""Generation loop: prefill + KV-cached decode.
+"""Generation: jitted prefill + fully on-device decode loop.
 
 The reference inherits HF ``generate()`` (reference:
-vptq/app_utils.py:55-60); here the loop is our own JAX decode: one
-jitted prefill over the prompt, then a jitted single-token step reusing
-the functional KV cache. Shapes are static (prompt padded to a bucket,
-fixed max sequence), so everything compiles once.
+vptq/app_utils.py:55-60), dispatching one kernel launch per linear per
+token from the host. On this TPU environment a single host↔device sync
+costs ~26 ms, so the decode loop runs entirely on device: one
+``lax.scan`` over all new tokens inside one jit — the host only sees
+the final token block.
 """
 
 from __future__ import annotations
@@ -16,9 +17,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vptq_tpu.models.llama import Model, forward, init_cache
+from vptq_tpu.models.llama import KVCache, Model, forward, init_cache
 
-__all__ = ["Generator"]
+__all__ = ["Generator", "decode_loop"]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "dtype"), donate_argnums=(2,)
+)
+def decode_loop(
+    model: Model,
+    first_token: jnp.ndarray,  # (B,) int32
+    cache: KVCache,
+    key: jnp.ndarray,
+    temperature: jnp.ndarray,  # () f32; 0 => greedy
+    *,
+    steps: int,
+    dtype=jnp.bfloat16,
+):
+    """Generate ``steps`` tokens on device. Returns ((steps, B), cache)."""
+
+    def step(carry, _):
+        tok, cache, key = carry
+        logits, cache = forward(model, tok[:, None], cache, dtype=dtype)
+        logits = logits[:, 0]  # (B, vocab)
+        key, sub = jax.random.split(key)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        temp = jnp.maximum(temperature, 1e-6)
+        sampled = jax.random.categorical(sub, logits / temp, axis=-1)
+        nxt = jnp.where(temperature > 0, sampled.astype(jnp.int32), greedy)
+        return (nxt, cache, key), nxt
+
+    (last, cache, _), toks = jax.lax.scan(
+        step, (first_token, cache, key), None, length=steps
+    )
+    return toks, cache
 
 
 def _pad_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -29,7 +62,8 @@ def _pad_bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 class Generator:
-    """Stateless-model, stateful-cache generation driver."""
+    """Single-sequence generation driver (batched serving lives in the
+    scheduler)."""
 
     def __init__(
         self,
@@ -46,10 +80,10 @@ class Generator:
             self.prompt_buckets = [max_seq]
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def _forward(model, tokens, cache):
+        def _prefill(model, tokens, cache):
             return forward(model, tokens, cache, dtype=self.dtype)
 
-        self._forward = _forward
+        self._prefill = _prefill
 
     def generate(
         self,
@@ -60,10 +94,6 @@ class Generator:
         seed: int = 0,
         stream_callback=None,
     ) -> List[int]:
-        """Generate greedily (temperature=0) or with sampling.
-
-        Single-sequence API; batched serving lives in the scheduler.
-        """
         prompt = np.asarray(prompt_tokens, dtype=np.int32)
         if prompt.ndim != 1:
             raise ValueError("prompt must be 1-D")
@@ -71,39 +101,42 @@ class Generator:
         bucket = _pad_bucket(plen, self.prompt_buckets)
 
         cache = init_cache(self.model.cfg, 1, self.max_seq, self.dtype)
-        # right-pad the prompt into the bucket; the pad tokens' cache
-        # entries are overwritten because the cache length is rewound to
-        # the true prompt length after prefill.
+        # right-pad the prompt into the bucket; pad positions are never
+        # attended to (cache length is rewound to the true length).
         padded = np.zeros(bucket, dtype=np.int32)
         padded[:plen] = prompt
-        logits, cache = self._forward(
+        logits, cache = self._prefill(
             self.model, jnp.asarray(padded)[None, :], cache
         )
-        # rewind cache length to the true prompt length
         cache = cache.replace(length=jnp.asarray(plen, jnp.int32))
 
-        key = jax.random.PRNGKey(seed)
-        last_logits = logits[0, plen - 1]
-        out: List[int] = []
-        for _ in range(max_new_tokens):
-            if temperature > 0.0:
-                key, sub = jax.random.split(key)
-                next_id = int(
-                    jax.random.categorical(sub, last_logits / temperature)
-                )
-            else:
-                next_id = int(jnp.argmax(last_logits))
-            out.append(next_id)
-            if stream_callback is not None:
-                stream_callback(next_id)
-            if eos_token_id is not None and next_id == eos_token_id:
-                break
-            if int(cache.length) + 1 >= self.max_seq:
-                break
-            logits, cache = self._forward(
+        first = jnp.argmax(logits[:, plen - 1], axis=-1).astype(jnp.int32)
+        if temperature > 0:
+            key0 = jax.random.PRNGKey(seed)
+            first = jax.random.categorical(
+                key0, logits[:, plen - 1] / temperature, axis=-1
+            ).astype(jnp.int32)
+
+        steps = min(max_new_tokens - 1, self.max_seq - plen - 1)
+        steps = max(steps, 0)
+        out_tokens = [int(first[0])]
+        if steps > 0:
+            toks, cache = decode_loop(
                 self.model,
-                jnp.full((1, 1), next_id, dtype=jnp.int32),
+                first,
                 cache,
+                jax.random.PRNGKey(seed + 1),
+                jnp.asarray(temperature, jnp.float32),
+                steps=steps,
+                dtype=self.dtype,
             )
-            last_logits = logits[0, 0]
-        return out
+            out_tokens.extend(np.asarray(toks)[:, 0].tolist())
+
+        if eos_token_id is not None and eos_token_id in out_tokens:
+            out_tokens = out_tokens[
+                : out_tokens.index(eos_token_id) + 1
+            ]
+        if stream_callback is not None:
+            for t in out_tokens:
+                stream_callback(t)
+        return out_tokens
