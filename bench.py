@@ -41,14 +41,22 @@ def build_7b_int8(rng):
         model_type="llama",
     )
 
+    # decode speed is independent of weight values; generate weights
+    # on-device (host->device through this environment's tunnel runs
+    # at ~15 MB/s — 6.6 GB would take minutes)
+    import jax
+
+    key_holder = [jax.random.PRNGKey(0)]
+
     def lin(in_f, out_f):
         g = pick_group(in_f)
         in_p = in_f + ((-in_f) % g)
-        wq = jnp.asarray(
-            rng.integers(-127, 128, size=(out_f, in_p)), jnp.int8
+        key_holder[0], k1, k2 = jax.random.split(key_holder[0], 3)
+        wq = jax.random.randint(
+            k1, (out_f, in_p), -127, 128, dtype=jnp.int8
         )
-        scales = jnp.asarray(
-            0.005 * (1 + rng.random((in_p // g, out_f))), jnp.float32
+        scales = 0.005 * (
+            1 + jax.random.uniform(k2, (in_p // g, out_f), jnp.float32)
         )
         return Int8Linear(wq=wq, scales=scales, bias=None)
 
@@ -59,27 +67,30 @@ def build_7b_int8(rng):
             Block(
                 input_layernorm=jnp.ones(h, jnp.float32),
                 attn=Attention(
-                    q_proj=lin(h, h),
-                    k_proj=lin(h, h),
-                    v_proj=lin(h, h),
+                    q_proj=None,
+                    k_proj=None,
+                    v_proj=None,
                     o_proj=lin(h, h),
+                    qkv_proj=lin(h, 3 * h),
                 ),
                 post_attention_layernorm=jnp.ones(h, jnp.float32),
                 mlp=Mlp(
-                    gate_proj=lin(h, inter),
-                    up_proj=lin(h, inter),
+                    gate_proj=None,
+                    up_proj=None,
                     down_proj=lin(inter, h),
+                    gate_up_proj=lin(h, 2 * inter),
                 ),
             )
         )
-    embed = jnp.asarray(
-        0.01 * rng.standard_normal((cfg.vocab_size, h)), jnp.bfloat16
+    key_holder[0], k1, k2 = jax.random.split(key_holder[0], 3)
+    embed = 0.01 * jax.random.normal(
+        k1, (cfg.vocab_size, h), jnp.bfloat16
     )
     from vptq_tpu.layers.dense import DenseLinear
 
     lm_head = DenseLinear(
-        weight=jnp.asarray(
-            0.01 * rng.standard_normal((cfg.vocab_size, h)), jnp.bfloat16
+        weight=0.01 * jax.random.normal(
+            k2, (cfg.vocab_size, h), jnp.bfloat16
         )
     )
     return Model(

@@ -1,0 +1,97 @@
+"""Perplexity computation sanity vs direct HF cross-entropy."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vptq_tpu.eval import perplexity
+from vptq_tpu.models import load_model
+from vptq_tpu.utils.synth_checkpoint import (
+    tiny_model_config,
+    write_synthetic_checkpoint,
+)
+
+
+def test_ppl_matches_hf_cross_entropy(tmp_path):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from test_model_e2e import _dequant_layer_np
+
+    write_synthetic_checkpoint(
+        tmp_path,
+        tiny_model_config(),
+        vq_kwargs=dict(
+            vector_len=4, num_centroids=64, num_res_centroids=16,
+            enable_norm=True, is_indice_packed=True,
+        ),
+        seed=17,
+    )
+    model = load_model(str(tmp_path), dtype=jnp.float32)
+    mc = model.cfg
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, mc.vocab_size, size=40, dtype=np.int64)
+
+    ppl = perplexity(model, ids, seq_len=20, dtype=jnp.float32)
+
+    # direct torch cross-entropy on the same dequantized model
+    hf_cfg = LlamaConfig(
+        vocab_size=mc.vocab_size,
+        hidden_size=mc.hidden_size,
+        intermediate_size=mc.intermediate_size,
+        num_hidden_layers=mc.num_hidden_layers,
+        num_attention_heads=mc.num_attention_heads,
+        num_key_value_heads=mc.num_key_value_heads,
+        head_dim=mc.head_dim,
+        rms_norm_eps=mc.rms_norm_eps,
+        rope_theta=mc.rope_theta,
+        tie_word_embeddings=mc.tie_word_embeddings,
+    )
+    hf = LlamaForCausalLM(hf_cfg).eval().to(torch.float32)
+    sd = {
+        "model.embed_tokens.weight": torch.from_numpy(
+            np.asarray(model.embed_tokens, dtype=np.float32)
+        ),
+        "model.norm.weight": torch.from_numpy(
+            np.asarray(model.norm, dtype=np.float32)
+        ),
+    }
+    for i, block in enumerate(model.blocks):
+        p = f"model.layers.{i}"
+        sd[f"{p}.input_layernorm.weight"] = torch.from_numpy(
+            np.asarray(block.input_layernorm, dtype=np.float32)
+        )
+        sd[f"{p}.post_attention_layernorm.weight"] = torch.from_numpy(
+            np.asarray(block.post_attention_layernorm, dtype=np.float32)
+        )
+        for mod, name in [
+            (block.attn.q_proj, "self_attn.q_proj"),
+            (block.attn.k_proj, "self_attn.k_proj"),
+            (block.attn.v_proj, "self_attn.v_proj"),
+            (block.attn.o_proj, "self_attn.o_proj"),
+            (block.mlp.gate_proj, "mlp.gate_proj"),
+            (block.mlp.up_proj, "mlp.up_proj"),
+            (block.mlp.down_proj, "mlp.down_proj"),
+        ]:
+            sd[f"{p}.{name}.weight"] = torch.from_numpy(
+                _dequant_layer_np(mod)
+            )
+    sd["lm_head.weight"] = sd["model.embed_tokens.weight"]
+    hf.load_state_dict(sd, strict=False)
+
+    nll_sum, cnt = 0.0, 0
+    for w in (ids[:20], ids[20:40]):
+        t = torch.from_numpy(w[None, :])
+        with torch.no_grad():
+            logits = hf(t).logits
+        loss = F.cross_entropy(
+            logits[0, :-1], t[0, 1:], reduction="sum"
+        )
+        nll_sum += float(loss)
+        cnt += 19
+    hf_ppl = float(np.exp(nll_sum / cnt))
+
+    assert abs(ppl - hf_ppl) / hf_ppl < 5e-3, (ppl, hf_ppl)

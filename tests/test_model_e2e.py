@@ -137,7 +137,7 @@ def test_logits_match_hf(ckpt):
     )
     logits = np.asarray(logits)
 
-    assert int(cache.length) == 9
+    assert int(cache.lengths[0]) == 9
     np.testing.assert_allclose(logits, hf_logits, rtol=2e-3, atol=2e-3)
 
     # incremental decode must match the full forward

@@ -134,3 +134,39 @@ def test_load_model_runtime_formats(tmp_path):
     np.testing.assert_allclose(
         outs["int8"], outs["codebook"], rtol=5e-2, atol=5e-2
     )
+
+
+def test_fused_model_matches_unfused(tmp_path):
+    from vptq_tpu.layers.runtime import fuse_model
+    from vptq_tpu.models import load_model
+    from vptq_tpu.models.llama import forward, init_cache
+    from vptq_tpu.utils.synth_checkpoint import (
+        tiny_model_config,
+        write_synthetic_checkpoint,
+    )
+
+    write_synthetic_checkpoint(
+        tmp_path,
+        tiny_model_config(),
+        vq_kwargs=dict(
+            vector_len=4, num_centroids=64, num_res_centroids=16,
+            enable_norm=True, is_indice_packed=True,
+        ),
+        seed=5,
+    )
+    model = load_model(
+        str(tmp_path), dtype=jnp.float32, runtime_format="int8",
+        fuse=False,
+    )
+    fused = fuse_model(model)
+    assert fused.blocks[0].attn.qkv_proj is not None
+    assert fused.blocks[0].mlp.gate_up_proj is not None
+
+    tokens = jnp.asarray([[2, 7, 11, 3]], jnp.int32)
+    cache = init_cache(model.cfg, 1, 8, jnp.float32)
+    logits, _ = forward(model, tokens, cache, dtype=jnp.float32)
+    cache = init_cache(model.cfg, 1, 8, jnp.float32)
+    logits_f, _ = forward(fused, tokens, cache, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_f), rtol=1e-4, atol=1e-4
+    )

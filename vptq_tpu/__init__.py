@@ -12,8 +12,18 @@ from vptq_tpu.config import QuantizationConfig, VQLinearConfig
 from vptq_tpu.layers.vqlinear import VQLinear
 
 __all__ = [
+    "AutoModelForCausalLM",
     "QuantizationConfig",
     "VQLinearConfig",
     "VQLinear",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # lazy: keeps `import vptq_tpu` light (no jax model imports)
+    if name == "AutoModelForCausalLM":
+        from vptq_tpu.api import AutoModelForCausalLM
+
+        return AutoModelForCausalLM
+    raise AttributeError(name)

@@ -1,0 +1,71 @@
+"""Convenience API mirroring the reference's entry point.
+
+The reference exposes ``vptq.AutoModelForCausalLM.from_pretrained``
+(reference: vptq/layers/model_base.py:93-199) returning a torch module
+driven by HF ``generate``. The TPU equivalent bundles the loaded
+functional model with a :class:`Generator`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+
+from vptq_tpu.models import load_model
+from vptq_tpu.models.llama import Model
+from vptq_tpu.serving.generate import Generator
+
+__all__ = ["AutoModelForCausalLM", "Engine"]
+
+
+class Engine:
+    """A loaded model + generation driver."""
+
+    def __init__(
+        self,
+        model: Model,
+        max_seq: int = 2048,
+        dtype=jnp.bfloat16,
+    ):
+        self.model = model
+        self.config = model.cfg
+        self.generator = Generator(model, max_seq=max_seq, dtype=dtype)
+
+    def generate(
+        self,
+        input_ids: Sequence[int],
+        max_new_tokens: int = 256,
+        eos_token_id: Optional[int] = None,
+        temperature: float = 0.0,
+        seed: int = 0,
+        stream_callback=None,
+    ) -> List[int]:
+        return self.generator.generate(
+            input_ids,
+            max_new_tokens=max_new_tokens,
+            eos_token_id=eos_token_id,
+            temperature=temperature,
+            seed=seed,
+            stream_callback=stream_callback,
+        )
+
+
+class AutoModelForCausalLM:
+    """``from_pretrained`` parity shim for reference users."""
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        pretrained_model_name_or_path: str,
+        runtime_format: str = "int8",
+        dtype=jnp.bfloat16,
+        max_seq: int = 2048,
+        **_ignored,
+    ) -> Engine:
+        model = load_model(
+            pretrained_model_name_or_path,
+            dtype=dtype,
+            runtime_format=runtime_format,
+        )
+        return Engine(model, max_seq=max_seq, dtype=dtype)

@@ -179,3 +179,103 @@ def to_runtime(layer, fmt: str):
     if fmt == "int8":
         return to_int8(layer)
     return to_bf16(layer)
+
+
+def fuse_linears(linears):
+    """Concatenate same-input linears into one (row-wise).
+
+    Halves kernel-dispatch count on the hot path (q|k|v and gate|up
+    become single matmuls). All inputs must share in_features, type,
+    and (for int8) scale group.
+    """
+    import numpy as np
+
+    first = linears[0]
+    if any(type(m) is not type(first) for m in linears):
+        return None
+    if isinstance(first, Int8Linear):
+        if any(
+            m.wq.shape[1] != first.wq.shape[1]
+            or m.group != first.group
+            for m in linears
+        ):
+            return None
+        biases = [m.bias for m in linears]
+        if any(b is not None for b in biases):
+            bias = jnp.concatenate(
+                [
+                    b
+                    if b is not None
+                    else jnp.zeros(m.out_features, jnp.float32)
+                    for b, m in zip(biases, linears)
+                ]
+            )
+        else:
+            bias = None
+        return Int8Linear(
+            wq=jnp.concatenate([m.wq for m in linears], axis=0),
+            scales=jnp.concatenate(
+                [m.scales for m in linears], axis=1
+            ),
+            bias=bias,
+        )
+    if isinstance(first, DenseLinear):
+        if any(m.weight.shape[1] != first.weight.shape[1] for m in linears):
+            return None
+        biases = [m.bias for m in linears]
+        if any(b is not None for b in biases):
+            bias = jnp.concatenate(
+                [
+                    b
+                    if b is not None
+                    else jnp.zeros(m.out_features, m.weight.dtype)
+                    for b, m in zip(biases, linears)
+                ]
+            )
+        else:
+            bias = None
+        return DenseLinear(
+            weight=jnp.concatenate([m.weight for m in linears], axis=0),
+            bias=bias,
+        )
+    return None  # codebook layers are not fused
+
+
+def fuse_model(model):
+    """Fuse q|k|v and gate|up projections across all blocks."""
+    from vptq_tpu.models.llama import Attention, Block, Mlp, Model
+
+    blocks = []
+    for block in model.blocks:
+        attn, mlp = block.attn, block.mlp
+        if attn.qkv_proj is None and attn.q_proj is not None:
+            fused = fuse_linears(
+                [attn.q_proj, attn.k_proj, attn.v_proj]
+            )
+            if fused is not None:
+                attn = Attention(
+                    q_proj=None, k_proj=None, v_proj=None,
+                    o_proj=attn.o_proj, qkv_proj=fused,
+                )
+        if mlp.gate_up_proj is None and mlp.gate_proj is not None:
+            fused = fuse_linears([mlp.gate_proj, mlp.up_proj])
+            if fused is not None:
+                mlp = Mlp(
+                    gate_proj=None, up_proj=None,
+                    down_proj=mlp.down_proj, gate_up_proj=fused,
+                )
+        blocks.append(
+            Block(
+                input_layernorm=block.input_layernorm,
+                attn=attn,
+                post_attention_layernorm=block.post_attention_layernorm,
+                mlp=mlp,
+            )
+        )
+    return Model(
+        embed_tokens=model.embed_tokens,
+        blocks=tuple(blocks),
+        norm=model.norm,
+        lm_head=model.lm_head,
+        cfg=model.cfg,
+    )

@@ -41,6 +41,11 @@ class ModelConfig:
     rope_scaling: Optional[Tuple[Tuple[str, Any], ...]] = None
     tie_word_embeddings: bool = False
     model_type: str = "llama"
+    # qwen2-style qkv bias (model config attention_bias / qkv_bias)
+    attention_bias: bool = False
+    # sliding-window attention width; None = full causal (mistral/qwen
+    # checkpoints may set this — decode masks cache reads beyond it)
+    sliding_window: Optional[int] = None
 
     @classmethod
     def from_hf_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
@@ -61,6 +66,14 @@ class ModelConfig:
             rope_scaling=rope_scaling,
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             model_type=d.get("model_type", "llama"),
+            attention_bias=d.get(
+                "attention_bias", d.get("qkv_bias", False)
+            ),
+            sliding_window=(
+                d.get("sliding_window")
+                if d.get("use_sliding_window", True)
+                else None
+            ),
         )
 
 
@@ -130,17 +143,22 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 @struct.dataclass
 class Attention:
-    q_proj: Linear
-    k_proj: Linear
-    v_proj: Linear
+    q_proj: Optional[Linear]
+    k_proj: Optional[Linear]
+    v_proj: Optional[Linear]
     o_proj: Linear
+    # fused q|k|v projection (one matmul, split after) — built by
+    # vptq_tpu.layers.runtime.fuse_model; when set, q/k/v are None.
+    qkv_proj: Optional[Linear] = None
 
 
 @struct.dataclass
 class Mlp:
-    gate_proj: Linear
-    up_proj: Linear
+    gate_proj: Optional[Linear]
+    up_proj: Optional[Linear]
     down_proj: Linear
+    # fused gate|up projection
+    gate_up_proj: Optional[Linear] = None
 
 
 @struct.dataclass
@@ -162,11 +180,15 @@ class Model:
 
 @struct.dataclass
 class KVCache:
-    """Functional KV cache: preallocated, updated with dynamic slices."""
+    """Functional KV cache: preallocated, updated with dynamic slices.
+
+    ``lengths`` is per-sequence — slots in a serving batch advance
+    independently (continuous batching, vptq_tpu/serving/scheduler.py).
+    """
 
     k: jnp.ndarray  # (layers, B, max_seq, kv_heads, head_dim)
     v: jnp.ndarray
-    length: jnp.ndarray  # () int32 — tokens currently cached
+    lengths: jnp.ndarray  # (B,) int32 — tokens cached per sequence
 
 
 def init_cache(
@@ -182,7 +204,7 @@ def init_cache(
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
-        length=jnp.zeros((), jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -207,25 +229,40 @@ def _attention(
         cfg.head_dim,
     )
 
-    q = attn.q_proj(x).reshape(batch, seq, nh, hd)
-    k = attn.k_proj(x).reshape(batch, seq, nkv, hd)
-    v = attn.v_proj(x).reshape(batch, seq, nkv, hd)
+    if attn.qkv_proj is not None:
+        qkv = attn.qkv_proj(x)
+        q, k, v = jnp.split(
+            qkv, [nh * hd, (nh + nkv) * hd], axis=-1
+        )
+        q = q.reshape(batch, seq, nh, hd)
+        k = k.reshape(batch, seq, nkv, hd)
+        v = v.reshape(batch, seq, nkv, hd)
+    else:
+        q = attn.q_proj(x).reshape(batch, seq, nh, hd)
+        k = attn.k_proj(x).reshape(batch, seq, nkv, hd)
+        v = attn.v_proj(x).reshape(batch, seq, nkv, hd)
 
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
 
-    # insert into cache at the current offset
-    offset = cache.length
-    k_cache = jax.lax.dynamic_update_slice(
-        cache.k[block_idx], k.astype(cache.k.dtype), (0, offset, 0, 0)
-    )
-    v_cache = jax.lax.dynamic_update_slice(
-        cache.v[block_idx], v.astype(cache.v.dtype), (0, offset, 0, 0)
-    )
+    # insert into cache at each sequence's own offset
+    offsets = cache.lengths  # (B,)
+
+    # per-row dynamic start along the sequence axis
+    k_cache = jax.vmap(
+        lambda buf, new, off: jax.lax.dynamic_update_slice(
+            buf, new, (off, 0, 0)
+        )
+    )(cache.k[block_idx], k.astype(cache.k.dtype), offsets)
+    v_cache = jax.vmap(
+        lambda buf, new, off: jax.lax.dynamic_update_slice(
+            buf, new, (off, 0, 0)
+        )
+    )(cache.v[block_idx], v.astype(cache.v.dtype), offsets)
     new_cache = KVCache(
         k=cache.k.at[block_idx].set(k_cache),
         v=cache.v.at[block_idx].set(v_cache),
-        length=cache.length,  # bumped once per step by the caller
+        lengths=cache.lengths,  # bumped once per step by the caller
     )
 
     max_seq = k_cache.shape[1]
@@ -238,10 +275,16 @@ def _attention(
         kT.astype(jnp.float32),
     ) / jnp.sqrt(hd).astype(jnp.float32)
 
-    # causal + validity mask over cache positions
+    # causal + validity mask over cache positions (per sequence)
     t_ids = jnp.arange(max_seq)[None, None, None, None, :]
-    q_pos = (offset + jnp.arange(seq))[None, None, None, :, None]
+    q_pos = (
+        offsets[:, None] + jnp.arange(seq)[None, :]
+    )[:, None, None, :, None]
     mask = t_ids <= q_pos
+    if cfg.sliding_window is not None:
+        mask = jnp.logical_and(
+            mask, t_ids > q_pos - cfg.sliding_window
+        )
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
 
@@ -253,6 +296,10 @@ def _attention(
 
 
 def _mlp(mlp: Mlp, x: jnp.ndarray) -> jnp.ndarray:
+    if mlp.gate_up_proj is not None:
+        gu = mlp.gate_up_proj(x)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return mlp.down_proj(jax.nn.silu(gate) * up)
     return mlp.down_proj(jax.nn.silu(mlp.gate_proj(x)) * mlp.up_proj(x))
 
 
@@ -262,15 +309,17 @@ def forward(
     cache: KVCache,
     dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Run the decoder over ``tokens`` starting at ``cache.length``.
+    """Run the decoder over ``tokens`` starting at ``cache.lengths``.
 
     Returns (logits (B, S, vocab) fp32, updated cache).
     """
     cfg = model.cfg
     batch, seq = tokens.shape
     x = model.embed_tokens[tokens].astype(dtype)
-    positions = cache.length + jnp.arange(seq)[None, :].astype(jnp.int32)
-    positions = jnp.broadcast_to(positions, (batch, seq))
+    positions = (
+        cache.lengths[:, None]
+        + jnp.arange(seq)[None, :].astype(jnp.int32)
+    )
     inv_freq = rope_frequencies(cfg)
 
     for i, block in enumerate(model.blocks):
@@ -291,5 +340,7 @@ def forward(
             model.embed_tokens.T.astype(x.dtype),
             preferred_element_type=jnp.float32,
         )
-    cache = KVCache(k=cache.k, v=cache.v, length=cache.length + seq)
+    cache = KVCache(
+        k=cache.k, v=cache.v, lengths=cache.lengths + seq
+    )
     return logits.astype(jnp.float32), cache

@@ -193,13 +193,15 @@ def load_model(
     checkpoint_dir: str,
     dtype=jnp.bfloat16,
     runtime_format: str = "codebook",
+    fuse: bool = True,
 ) -> Model:
     """Load a VPTQ HF checkpoint directory into a :class:`Model`.
 
     ``runtime_format``: "codebook" keeps compressed VQ layers (exact,
     minimal memory, slow matmul); "int8" / "bf16" re-encode each layer
     once into the dense TPU runtime format (see
-    vptq_tpu/layers/runtime.py).
+    vptq_tpu/layers/runtime.py). ``fuse`` merges q|k|v and gate|up
+    projections into single matmuls (dense formats only).
     """
     root = Path(checkpoint_dir)
     with open(root / "config.json") as f:
@@ -257,10 +259,15 @@ def load_model(
     if leftover:
         logger.warning("unused checkpoint tensors: %s", leftover[:8])
 
-    return Model(
+    model = Model(
         embed_tokens=embed,
         blocks=tuple(blocks),
         norm=norm,
         lm_head=lm_head,
         cfg=model_cfg,
     )
+    if fuse and runtime_format != "codebook":
+        from vptq_tpu.layers.runtime import fuse_model
+
+        model = fuse_model(model)
+    return model

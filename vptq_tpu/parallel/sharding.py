@@ -87,8 +87,28 @@ def _shard_vq(layer: VQLinear, mesh: Mesh, col_parallel: bool) -> VQLinear:
 
 
 def _shard_linear(layer, mesh: Mesh, col_parallel: bool):
+    if layer is None:
+        return None
     if isinstance(layer, VQLinear):
         return _shard_vq(layer, mesh, col_parallel)
+
+    from vptq_tpu.layers.runtime import Int8Linear
+
+    if isinstance(layer, Int8Linear):
+        if col_parallel:
+            wq_spec, s_spec, bias_spec = (
+                P("model", None), P(None, "model"), P("model"),
+            )
+        else:
+            wq_spec, s_spec, bias_spec = (
+                P(None, "model"), P("model", None), P(),
+            )
+        return Int8Linear(
+            wq=_put(layer.wq, mesh, wq_spec),
+            scales=_put(layer.scales, mesh, s_spec),
+            bias=_put(layer.bias, mesh, bias_spec),
+        )
+
     weight_spec = P("model", None) if col_parallel else P(None, "model")
     bias_spec = P("model") if col_parallel else P()
     return DenseLinear(
@@ -106,11 +126,15 @@ def shard_model(model: Model, mesh: Mesh) -> Model:
             k_proj=_shard_linear(block.attn.k_proj, mesh, True),
             v_proj=_shard_linear(block.attn.v_proj, mesh, True),
             o_proj=_shard_linear(block.attn.o_proj, mesh, False),
+            qkv_proj=_shard_linear(block.attn.qkv_proj, mesh, True),
         )
         mlp = Mlp(
             gate_proj=_shard_linear(block.mlp.gate_proj, mesh, True),
             up_proj=_shard_linear(block.mlp.up_proj, mesh, True),
             down_proj=_shard_linear(block.mlp.down_proj, mesh, False),
+            gate_up_proj=_shard_linear(
+                block.mlp.gate_up_proj, mesh, True
+            ),
         )
         blocks.append(
             Block(
@@ -139,7 +163,7 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     return KVCache(
         k=_put(cache.k, mesh, kv_spec),
         v=_put(cache.v, mesh, kv_spec),
-        length=_put(cache.length, mesh, P()),
+        lengths=_put(cache.lengths, mesh, P()),
     )
 
 

@@ -1,0 +1,162 @@
+"""CLI: prompt evaluation and interactive chat.
+
+TPU counterpart of the reference CLI (reference: vptq/app_utils.py:
+17-105 — ``--model/--tokenizer/--prompt/--chat/--chat-system-prompt``),
+with runtime-format and generation knobs added.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m vptq_tpu",
+        description="Serve a VPTQ-quantized LLM on TPU.",
+    )
+    p.add_argument(
+        "--model", type=str, required=True,
+        help="checkpoint directory (HF layout with quantization_config)",
+    )
+    p.add_argument(
+        "--tokenizer", type=str, default="",
+        help="tokenizer path (defaults to --model)",
+    )
+    p.add_argument(
+        "--prompt", type=str, default="",
+        help="one-shot prompt to complete",
+    )
+    p.add_argument(
+        "--chat", action="store_true",
+        help="interactive chat via the tokenizer's chat template",
+    )
+    p.add_argument(
+        "--chat-system-prompt", type=str, default="",
+        help="system prompt for chat mode",
+    )
+    p.add_argument(
+        "--runtime-format", type=str, default="int8",
+        choices=("int8", "bf16", "codebook"),
+        help="runtime weight format (see ARCHITECTURE.md)",
+    )
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.add_argument("--max-seq", type=int, default=2048)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _load(args):
+    import jax.numpy as jnp
+
+    from vptq_tpu.models import load_model
+    from vptq_tpu.serving.generate import Generator
+
+    model = load_model(
+        args.model,
+        dtype=jnp.bfloat16,
+        runtime_format=args.runtime_format,
+    )
+    gen = Generator(model, max_seq=args.max_seq, dtype=jnp.bfloat16)
+    return model, gen
+
+
+def _tokenizer(args):
+    from transformers import AutoTokenizer
+
+    path = args.tokenizer or args.model
+    token = os.environ.get("HF_TOKEN")  # parity: app_utils.py:178-180
+    kwargs = {"token": token} if token else {}
+    return AutoTokenizer.from_pretrained(path, **kwargs)
+
+
+def eval_prompt(gen, tokenizer, args) -> None:
+    """One-shot streamed completion (reference app_utils.py:55-60)."""
+    ids = tokenizer(args.prompt, return_tensors=None)["input_ids"]
+
+    def stream(tok_id):
+        text = tokenizer.decode([tok_id], skip_special_tokens=True)
+        sys.stdout.write(text)
+        sys.stdout.flush()
+
+    sys.stdout.write(args.prompt)
+    gen.generate(
+        ids,
+        max_new_tokens=args.max_new_tokens,
+        eos_token_id=tokenizer.eos_token_id,
+        temperature=args.temperature,
+        seed=args.seed,
+        stream_callback=stream,
+    )
+    sys.stdout.write("\n")
+
+
+def chat_loop(gen, tokenizer, args) -> None:
+    """Interactive chat (reference app_utils.py:63-105)."""
+    print(
+        "chat mode; 'exit' to quit, 'clear' to reset history",
+        file=sys.stderr,
+    )
+    messages = []
+    if args.chat_system_prompt:
+        messages.append(
+            {"role": "system", "content": args.chat_system_prompt}
+        )
+    while True:
+        try:
+            user = input("You: ")
+        except EOFError:
+            break
+        if user.strip().lower() == "exit":
+            break
+        if user.strip().lower() == "clear":
+            messages = messages[:1] if args.chat_system_prompt else []
+            continue
+        if not user.strip():
+            continue
+        messages.append({"role": "user", "content": user})
+        ids = tokenizer.apply_chat_template(
+            messages, add_generation_prompt=True
+        )
+        pieces = []
+
+        def stream(tok_id):
+            text = tokenizer.decode([tok_id], skip_special_tokens=True)
+            pieces.append(text)
+            sys.stdout.write(text)
+            sys.stdout.flush()
+
+        sys.stdout.write("Assistant: ")
+        gen.generate(
+            ids,
+            max_new_tokens=args.max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            temperature=args.temperature,
+            seed=args.seed,
+            stream_callback=stream,
+        )
+        sys.stdout.write("\n")
+        messages.append(
+            {"role": "assistant", "content": "".join(pieces)}
+        )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.prompt and not args.chat:
+        print("need --prompt or --chat", file=sys.stderr)
+        return 2
+    tokenizer = _tokenizer(args)
+    _, gen = _load(args)
+    if args.chat:
+        chat_loop(gen, tokenizer, args)
+    else:
+        eval_prompt(gen, tokenizer, args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

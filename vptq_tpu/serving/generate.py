@@ -93,10 +93,15 @@ class Generator:
         temperature: float = 0.0,
         seed: int = 0,
         stream_callback=None,
+        chunk_size: int = 32,
     ) -> List[int]:
+        """Generate tokens; the device loop runs in ``chunk_size``-token
+        scans with host syncs only between chunks (streaming + EOS)."""
         prompt = np.asarray(prompt_tokens, dtype=np.int32)
         if prompt.ndim != 1:
             raise ValueError("prompt must be 1-D")
+        if prompt.size == 0:
+            raise ValueError("prompt must contain at least one token")
         plen = len(prompt)
         bucket = _pad_bucket(plen, self.prompt_buckets)
 
@@ -108,7 +113,9 @@ class Generator:
         logits, cache = self._prefill(
             self.model, jnp.asarray(padded)[None, :], cache
         )
-        cache = cache.replace(length=jnp.asarray(plen, jnp.int32))
+        cache = cache.replace(
+            lengths=jnp.full((1,), plen, jnp.int32)
+        )
 
         first = jnp.argmax(logits[:, plen - 1], axis=-1).astype(jnp.int32)
         if temperature > 0:
@@ -117,26 +124,38 @@ class Generator:
                 key0, logits[:, plen - 1] / temperature, axis=-1
             ).astype(jnp.int32)
 
-        steps = min(max_new_tokens - 1, self.max_seq - plen - 1)
-        steps = max(steps, 0)
         out_tokens = [int(first[0])]
-        if steps > 0:
+        if stream_callback is not None:
+            stream_callback(out_tokens[0])
+        if eos_token_id is not None and out_tokens[0] == eos_token_id:
+            return out_tokens
+
+        budget = min(max_new_tokens - 1, self.max_seq - plen - 1)
+        done = 0
+        chunk_idx = 0
+        while done < budget:
+            steps = min(chunk_size, budget - done)
             toks, cache = decode_loop(
                 self.model,
                 first,
                 cache,
-                jax.random.PRNGKey(seed + 1),
+                jax.random.PRNGKey(seed + 1 + chunk_idx),
                 jnp.asarray(temperature, jnp.float32),
                 steps=steps,
                 dtype=self.dtype,
             )
-            out_tokens.extend(np.asarray(toks)[:, 0].tolist())
-
-        if eos_token_id is not None and eos_token_id in out_tokens:
-            out_tokens = out_tokens[
-                : out_tokens.index(eos_token_id) + 1
-            ]
-        if stream_callback is not None:
-            for t in out_tokens:
-                stream_callback(t)
+            arr = np.asarray(toks)[:, 0].tolist()
+            stop = None
+            if eos_token_id is not None and eos_token_id in arr:
+                stop = arr.index(eos_token_id)
+                arr = arr[: stop + 1]
+            out_tokens.extend(arr)
+            if stream_callback is not None:
+                for t in arr:
+                    stream_callback(t)
+            if stop is not None:
+                break
+            first = toks[-1]
+            done += steps
+            chunk_idx += 1
         return out_tokens

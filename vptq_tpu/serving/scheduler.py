@@ -1,0 +1,294 @@
+"""Continuous-batching scheduler.
+
+The reference serves one request at a time through HF ``generate``
+(reference: vptq/app_utils.py, vptq/app.py single-model cache at
+app.py:91-115). Production TPU serving wants slot-based continuous
+batching: a fixed-size batch of sequence slots sharing one KV cache,
+each advancing independently (per-slot ``lengths``), with finished
+slots immediately refilled from the queue.
+
+Design:
+  * prefill runs per request on a batch-1 cache, then its K/V rows are
+    inserted into the shared cache at the assigned slot (pure array
+    ops — no recompilation per batch composition);
+  * decode advances ALL slots together in ``chunk``-token on-device
+    scans (one jit); inactive slots compute garbage into their own
+    rows, which is masked by their lengths and overwritten on reuse;
+  * host syncs only between chunks: stream tokens, retire EOS/finished
+    slots, admit pending requests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vptq_tpu.models.llama import (
+    KVCache,
+    Model,
+    forward,
+    init_cache,
+)
+
+__all__ = ["Request", "Scheduler"]
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt: np.ndarray
+    max_new_tokens: int
+    temperature: float = 0.0
+    seed: int = 0
+    eos_token_id: Optional[int] = None
+    stream_callback: Optional[Callable[[int, int], None]] = None
+    # filled by the scheduler:
+    output: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "dtype"), donate_argnums=(2,)
+)
+def _batched_decode(
+    model: Model,
+    tokens: jnp.ndarray,  # (B,) int32 — last token per slot
+    cache: KVCache,
+    key: jnp.ndarray,
+    temps: jnp.ndarray,  # (B,) f32, 0 => greedy
+    active: jnp.ndarray,  # (B,) bool
+    *,
+    steps: int,
+    dtype=jnp.bfloat16,
+):
+    """Advance all slots ``steps`` tokens; inactive slots do not grow."""
+
+    def step(carry, _):
+        tok, cache, key = carry
+        logits, new_cache = forward(
+            model, tok[:, None], cache, dtype=dtype
+        )
+        # only active slots advance their cache length
+        new_cache = new_cache.replace(
+            lengths=jnp.where(
+                active, new_cache.lengths, cache.lengths
+            )
+        )
+        logits = logits[:, 0]
+        key, sub = jax.random.split(key)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        temp = jnp.maximum(temps, 1e-6)[:, None]
+        sampled = jax.random.categorical(
+            sub, logits / temp, axis=-1
+        ).astype(jnp.int32)
+        nxt = jnp.where(temps > 0, sampled, greedy)
+        nxt = jnp.where(active, nxt, tok)
+        return (nxt, new_cache, key), nxt
+
+    (_, cache, _), toks = jax.lax.scan(
+        step, (tokens, cache, key), None, length=steps
+    )
+    return toks, cache  # toks (steps, B)
+
+
+class Scheduler:
+    def __init__(
+        self,
+        model: Model,
+        max_batch: int = 4,
+        max_seq: int = 1024,
+        dtype=jnp.bfloat16,
+        chunk: int = 16,
+        prompt_buckets: Sequence[int] = (64, 256, 1024),
+    ):
+        self.model = model
+        self.max_batch = max_batch
+        self.max_seq = max_seq
+        self.dtype = dtype
+        self.chunk = chunk
+        self.prompt_buckets = [b for b in prompt_buckets if b <= max_seq]
+        if not self.prompt_buckets:
+            self.prompt_buckets = [max_seq]
+
+        self.cache = init_cache(model.cfg, max_batch, max_seq, dtype)
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.last_tokens = np.zeros(max_batch, dtype=np.int32)
+        self.temps = np.zeros(max_batch, dtype=np.float32)
+        self.pending: deque[Request] = deque()
+        self.finished: Dict[int, Request] = {}
+        self._next_id = 0
+        self._chunk_idx = 0
+
+        @functools.partial(jax.jit, static_argnames=("dtype",))
+        def _prefill_one(model, tokens, dtype=self.dtype):
+            cache1 = init_cache(
+                model.cfg, 1, self.max_seq, dtype
+            )
+            logits, cache1 = forward(
+                model, tokens, cache1, dtype=dtype
+            )
+            return logits, cache1
+
+        self._prefill_one = _prefill_one
+
+        @jax.jit
+        def _insert_slot(cache, k1, v1, slot, plen):
+            # write the (layers, 1, S, kv, hd) prefilled rows into the
+            # shared cache at `slot`, reset that slot's length
+            k = jax.lax.dynamic_update_slice(
+                cache.k, k1, (0, slot, 0, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache.v, v1, (0, slot, 0, 0, 0)
+            )
+            lengths = cache.lengths.at[slot].set(plen)
+            return KVCache(k=k, v=v, lengths=lengths)
+
+        self._insert_slot = _insert_slot
+
+    # ------------------------------------------------------------ API
+
+    def submit(
+        self,
+        prompt_tokens: Sequence[int],
+        max_new_tokens: int = 64,
+        temperature: float = 0.0,
+        seed: int = 0,
+        eos_token_id: Optional[int] = None,
+        stream_callback=None,
+    ) -> int:
+        prompt = np.asarray(prompt_tokens, dtype=np.int32)
+        if prompt.ndim != 1 or prompt.size == 0:
+            raise ValueError("prompt must be non-empty 1-D")
+        if len(prompt) >= self.max_seq:
+            raise ValueError("prompt longer than max_seq")
+        req = Request(
+            req_id=self._next_id,
+            prompt=prompt,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            seed=seed,
+            eos_token_id=eos_token_id,
+            stream_callback=stream_callback,
+        )
+        self._next_id += 1
+        self.pending.append(req)
+        return req.req_id
+
+    @property
+    def num_active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    def _admit(self) -> None:
+        for slot in range(self.max_batch):
+            if self.slots[slot] is not None or not self.pending:
+                continue
+            req = self.pending.popleft()
+            plen = len(req.prompt)
+            bucket = next(
+                (b for b in self.prompt_buckets if plen <= b),
+                self.prompt_buckets[-1],
+            )
+            padded = np.zeros(bucket, dtype=np.int32)
+            padded[:plen] = req.prompt
+            logits, cache1 = self._prefill_one(
+                self.model, jnp.asarray(padded)[None, :]
+            )
+            first_logits = logits[0, plen - 1]
+            if req.temperature > 0:
+                key = jax.random.PRNGKey(req.seed)
+                first = int(
+                    jax.random.categorical(
+                        key, first_logits / req.temperature
+                    )
+                )
+            else:
+                first = int(jnp.argmax(first_logits))
+            self.cache = self._insert_slot(
+                self.cache,
+                cache1.k,
+                cache1.v,
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(plen, jnp.int32),
+            )
+            req.output.append(first)
+            if req.stream_callback:
+                req.stream_callback(req.req_id, first)
+            self.slots[slot] = req
+            self.last_tokens[slot] = first
+            self.temps[slot] = req.temperature
+            if (
+                req.eos_token_id is not None
+                and first == req.eos_token_id
+            ) or req.max_new_tokens <= 1:
+                self._retire(slot)
+
+    def _retire(self, slot: int) -> None:
+        req = self.slots[slot]
+        req.done = True
+        self.finished[req.req_id] = req
+        self.slots[slot] = None
+
+    def step(self) -> None:
+        """Admit pending requests and advance one decode chunk."""
+        self._admit()
+        if self.num_active == 0:
+            return
+
+        active = np.array(
+            [s is not None for s in self.slots], dtype=bool
+        )
+        toks, self.cache = _batched_decode(
+            self.model,
+            jnp.asarray(self.last_tokens),
+            self.cache,
+            jax.random.PRNGKey(self._chunk_idx),
+            jnp.asarray(self.temps),
+            jnp.asarray(active),
+            steps=self.chunk,
+            dtype=self.dtype,
+        )
+        self._chunk_idx += 1
+        arr = np.asarray(toks)  # (chunk, B)
+
+        for slot in range(self.max_batch):
+            req = self.slots[slot]
+            if req is None:
+                continue
+            remaining = req.max_new_tokens - len(req.output)
+            budget = min(
+                remaining,
+                self.chunk,
+                self.max_seq - int(len(req.prompt)) - len(req.output)
+                - 1,
+            )
+            new = arr[:budget, slot].tolist()
+            if req.eos_token_id is not None and req.eos_token_id in new:
+                new = new[: new.index(req.eos_token_id) + 1]
+            req.output.extend(new)
+            if req.stream_callback:
+                for t in new:
+                    req.stream_callback(req.req_id, t)
+            self.last_tokens[slot] = arr[-1, slot]
+            hit_eos = (
+                req.eos_token_id is not None
+                and req.eos_token_id in new
+            )
+            out_of_budget = len(req.output) >= req.max_new_tokens
+            out_of_seq = (
+                len(req.prompt) + len(req.output) + 1 >= self.max_seq
+            )
+            if hit_eos or out_of_budget or out_of_seq:
+                self._retire(slot)
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drive until all submitted requests complete."""
+        while self.pending or self.num_active:
+            self.step()
+        return {rid: r.output for rid, r in self.finished.items()}

@@ -108,6 +108,7 @@ def write_synthetic_checkpoint(
     vq_kwargs: Optional[dict] = None,
     seed: int = 0,
     dtype=np.float16,
+    qkv_bias: bool = False,
 ) -> Path:
     """Create ``path`` with config.json + model.safetensors.
 
@@ -142,8 +143,13 @@ def write_synthetic_checkpoint(
     for i in range(mc.num_hidden_layers):
         for name, (in_f, out_f) in proj_shapes.items():
             prefix = f"model.layers.{i}.{name}"
+            has_bias = qkv_bias and name in (
+                "self_attn.q_proj", "self_attn.k_proj",
+                "self_attn.v_proj",
+            )
             cfg = make_config(
-                in_features=in_f, out_features=out_f, **vq_kwargs
+                in_features=in_f, out_features=out_f,
+                bias=has_bias, **vq_kwargs
             )
             tensors.update(
                 _layer_tensors(
@@ -172,8 +178,13 @@ def write_synthetic_checkpoint(
 
     save_file(tensors, root / "model.safetensors")
 
+    arch = {
+        "llama": "LlamaForCausalLM",
+        "qwen2": "Qwen2ForCausalLM",
+        "mistral": "MistralForCausalLM",
+    }.get(mc.model_type, "LlamaForCausalLM")
     hf_config = {
-        "architectures": ["LlamaForCausalLM"],
+        "architectures": [arch],
         "model_type": mc.model_type,
         "vocab_size": mc.vocab_size,
         "hidden_size": mc.hidden_size,
@@ -184,6 +195,7 @@ def write_synthetic_checkpoint(
         "head_dim": mc.head_dim,
         "rms_norm_eps": mc.rms_norm_eps,
         "rope_theta": mc.rope_theta,
+        "attention_bias": qkv_bias,
         "tie_word_embeddings": mc.tie_word_embeddings,
         "torch_dtype": "float16" if dtype == np.float16 else "bfloat16",
         "quantization_config": {
