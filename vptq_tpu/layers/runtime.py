@@ -119,6 +119,33 @@ def _exact_weight(layer: VQLinear, dtype=jnp.float32) -> "np.ndarray":
         a = np.asarray(a)
         return a if d is None else a.astype(d)
 
+    from vptq_tpu import native
+
+    if native.available():
+        got = native.dequant(
+            centroids=host(layer.centroids, np.float32),
+            ids=host(layer.ids, np.uint16),
+            res_centroids=host(layer.res_centroids, np.float32),
+            res_ids=host(layer.res_ids, np.uint16)
+            if layer.res_ids is not None
+            else None,
+            outlier_centroids=host(
+                layer.outlier_centroids, np.float32
+            ),
+            outlier_ids=host(layer.outlier_ids, np.uint16)
+            if layer.outlier_ids is not None
+            else None,
+            inv_perm=host(layer.inv_perm, np.int32)
+            if layer.inv_perm is not None
+            else None,
+            weight_scale=host(layer.weight_scale, np.float32),
+            weight_bias=host(layer.weight_bias, np.float32),
+            out_features=layer.cfg.out_features,
+            in_features=layer.cfg.in_features,
+        )
+        if got is not None:
+            return got
+
     return dequant_weight(
         centroids=host(layer.centroids, np.float32),
         ids=host(layer.ids, np.int64),
@@ -148,12 +175,26 @@ def to_int8(layer: VQLinear, group: Optional[int] = None) -> Int8Linear:
     if pad:
         w = np.pad(w, ((0, 0), (0, pad)))
     out_f, in_p = w.shape
-    g = w.reshape(out_f, in_p // group, group)
-    absmax = np.max(np.abs(g), axis=-1)  # (out, n_groups)
-    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-    q = np.clip(np.round(g / scale[:, :, None]), -127, 127).astype(
-        np.int8
-    )
+
+    from vptq_tpu import native
+
+    if native.available():
+        got = native.int8_group_quant(
+            np.ascontiguousarray(w, np.float32), group
+        )
+    else:
+        got = None
+    if got is not None:
+        q, scale = got
+    else:
+        g = w.reshape(out_f, in_p // group, group)
+        absmax = np.max(np.abs(g), axis=-1)  # (out, n_groups)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(
+            np.float32
+        )
+        q = np.clip(
+            np.round(g / scale[:, :, None]), -127, 127
+        ).astype(np.int8)
     return Int8Linear(
         wq=jnp.asarray(q.reshape(out_f, in_p)),
         scales=jnp.asarray(np.ascontiguousarray(scale.T)),

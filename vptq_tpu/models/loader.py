@@ -31,7 +31,7 @@ from vptq_tpu.config import QuantizationConfig, VQLinearConfig
 from vptq_tpu.layers.dense import DenseLinear
 from vptq_tpu.layers.vqlinear import VQLinear
 from vptq_tpu.models.llama import Attention, Block, Mlp, Model, ModelConfig
-from vptq_tpu.ops.packing import index_plane_dtype, unpack_index
+from vptq_tpu.ops.packing import index_plane_dtype
 
 logger = logging.getLogger("vptq_tpu")
 
@@ -101,13 +101,17 @@ def normalize_vq_layer(
         if packed.dtype != np.int32:
             packed = packed.view(np.int32)
         packed = packed.reshape(c, cfg.num_indices, cfg.packed_group_size)
-        main64, res64 = unpack_index(
+        from vptq_tpu import native
+
+        main_u16, res_u16 = native.unpack_indices(
             packed, cfg.index_bits, cfg.group_size, cfg.res_index_bits
         )
-        ids = jnp.asarray(main64.astype(index_plane_dtype(k)))
-        if res64 is not None:
+        ids = jnp.asarray(main_u16.astype(index_plane_dtype(k)))
+        if res_u16 is not None:
             res_ids = jnp.asarray(
-                res64.astype(index_plane_dtype(cfg.num_main_res_centroids))
+                res_u16.astype(
+                    index_plane_dtype(cfg.num_main_res_centroids)
+                )
             )
     else:
         main = _to_numpy_intview(indices_raw).reshape(
