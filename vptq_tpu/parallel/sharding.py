@@ -53,7 +53,20 @@ def make_mesh(
 def _put(x, mesh: Mesh, spec: P):
     if x is None:
         return None
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    # Fall back to replication for any dimension the mesh axis does not
+    # divide (tiny test models, odd head counts): shardings are
+    # placement hints — correctness is GSPMD's job either way.
+    fixed = []
+    for dim, axes in enumerate(spec):
+        if axes is None:
+            fixed.append(None)
+            continue
+        axis_names = axes if isinstance(axes, tuple) else (axes,)
+        size = 1
+        for name in axis_names:
+            size *= mesh.shape[name]
+        fixed.append(axes if x.shape[dim] % size == 0 else None)
+    return jax.device_put(x, NamedSharding(mesh, P(*fixed)))
 
 
 def _shard_vq(layer: VQLinear, mesh: Mesh, col_parallel: bool) -> VQLinear:
