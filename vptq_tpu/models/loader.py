@@ -38,19 +38,63 @@ logger = logging.getLogger("vptq_tpu")
 __all__ = ["load_model", "load_state_dict", "normalize_vq_layer"]
 
 
-def _to_numpy_intview(x: jnp.ndarray) -> np.ndarray:
+def _to_numpy_intview(x: np.ndarray) -> np.ndarray:
     """uint16-payload tensor (stored as f16/i16/u16) → numpy uint16."""
-    if x.dtype in (jnp.float16, jnp.int16, jnp.uint16):
-        return np.asarray(x.view(jnp.uint16))
-    if x.dtype in (jnp.int64, jnp.int32):
-        return np.asarray(x).astype(np.uint16)
+    if x.dtype in (np.float16, np.int16, np.uint16):
+        return x.view(np.uint16)
+    if x.dtype in (np.int64, np.int32):
+        return x.astype(np.uint16)
     raise ValueError(f"unexpected stored index dtype {x.dtype}")
 
 
-def load_state_dict(checkpoint_dir: str) -> Dict[str, jnp.ndarray]:
-    """Read all safetensors shards (handles ``*.index.json`` maps)."""
-    from safetensors import safe_open
+_SAFETENSORS_DTYPES = {
+    "F64": np.float64,
+    "F32": np.float32,
+    "F16": np.float16,
+    "I64": np.int64,
+    "I32": np.int32,
+    "I16": np.int16,
+    "I8": np.int8,
+    "U8": np.uint8,
+    "U16": np.uint16,
+    "U32": np.uint32,
+    "BOOL": np.bool_,
+}
 
+
+def _read_safetensors(path: Path) -> Dict[str, np.ndarray]:
+    """Raw host-side safetensors reader (zero device involvement).
+
+    The safetensors python loaders either reject bf16 (numpy) or place
+    tensors on the default device (flax) — through this environment's
+    TPU tunnel that means ~15 MB/s per direction. Ingestion is pure
+    host work, so read the format directly: 8-byte header length +
+    JSON header + flat buffer; bf16 via ml_dtypes.
+    """
+    import ml_dtypes
+
+    dtypes = dict(_SAFETENSORS_DTYPES)
+    dtypes["BF16"] = ml_dtypes.bfloat16
+    out: Dict[str, np.ndarray] = {}
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(n))
+        base = 8 + n
+        data = np.memmap(path, dtype=np.uint8, mode="r", offset=base)
+        for name, meta in header.items():
+            if name == "__metadata__":
+                continue
+            start, end = meta["data_offsets"]
+            arr = np.frombuffer(
+                data[start:end], dtype=dtypes[meta["dtype"]]
+            ).reshape(meta["shape"])
+            out[name] = arr
+    return out
+
+
+def load_state_dict(checkpoint_dir: str) -> Dict[str, np.ndarray]:
+    """Read all safetensors shards (handles ``*.index.json`` maps) as
+    host numpy arrays."""
     root = Path(checkpoint_dir)
     index_files = sorted(root.glob("*.index.json"))
     if index_files:
@@ -62,11 +106,9 @@ def load_state_dict(checkpoint_dir: str) -> Dict[str, jnp.ndarray]:
     if not shards:
         raise FileNotFoundError(f"no safetensors found in {root}")
 
-    state: Dict[str, jnp.ndarray] = {}
+    state: Dict[str, np.ndarray] = {}
     for shard in shards:
-        with safe_open(shard, framework="flax") as f:
-            for key in f.keys():
-                state[key] = f.get_tensor(key)
+        state.update(_read_safetensors(shard))
     return state
 
 
@@ -92,7 +134,7 @@ def normalize_vq_layer(
     if centroids is None:
         raise KeyError(f"{prefix}: missing centroids.weight")
     c, k, v = cfg.num_codebooks, cfg.num_main_centroids, cfg.vector_len
-    centroids = centroids.reshape(c, k, v).astype(dtype)
+    centroids = np.asarray(centroids).reshape(c, k, v).astype(dtype)
 
     indices_raw = pop("indices")
     res_ids = None
@@ -106,52 +148,50 @@ def normalize_vq_layer(
         main_u16, res_u16 = native.unpack_indices(
             packed, cfg.index_bits, cfg.group_size, cfg.res_index_bits
         )
-        ids = jnp.asarray(main_u16.astype(index_plane_dtype(k)))
+        ids = main_u16.astype(index_plane_dtype(k))
         if res_u16 is not None:
-            res_ids = jnp.asarray(
-                res_u16.astype(
-                    index_plane_dtype(cfg.num_main_res_centroids)
-                )
+            res_ids = res_u16.astype(
+                index_plane_dtype(cfg.num_main_res_centroids)
             )
     else:
         main = _to_numpy_intview(indices_raw).reshape(
             c, cfg.num_indices, cfg.group_size
         )
-        ids = jnp.asarray(main.astype(index_plane_dtype(k)))
+        ids = main.astype(index_plane_dtype(k))
         res_raw = pop("res_indices")
         if res_raw is not None:
             res = _to_numpy_intview(res_raw).reshape(
                 c, cfg.num_indices, cfg.group_size
             )
-            res_ids = jnp.asarray(
-                res.astype(index_plane_dtype(cfg.num_main_res_centroids))
+            res_ids = res.astype(
+                index_plane_dtype(cfg.num_main_res_centroids)
             )
 
     res_centroids = pop("res_centroids.weight")
     if res_centroids is not None:
-        res_centroids = res_centroids.reshape(
+        res_centroids = np.asarray(res_centroids).reshape(
             c, cfg.num_main_res_centroids, v
         ).astype(dtype)
 
     outlier_centroids = pop("outlier_centroids.weight")
     outlier_ids = None
     if outlier_centroids is not None:
-        outlier_centroids = outlier_centroids.reshape(
+        outlier_centroids = np.asarray(outlier_centroids).reshape(
             1, cfg.num_outlier_centroids, cfg.outlier_vector_len
         ).astype(dtype)
         outlier_raw = pop("outlier_indices")
         outlier = _to_numpy_intview(outlier_raw).reshape(
             1, cfg.outlier_num_indices, cfg.outlier_size
         )
-        outlier_ids = jnp.asarray(
-            outlier.astype(index_plane_dtype(cfg.num_outlier_centroids))
+        outlier_ids = outlier.astype(
+            index_plane_dtype(cfg.num_outlier_centroids)
         )
 
     perm_raw = pop("perm")
     inv_perm = None
     if perm_raw is not None and cfg.enable_perm:
         perm = _to_numpy_intview(perm_raw).astype(np.int64)
-        inv_perm = jnp.asarray(np.argsort(perm), dtype=jnp.int32)
+        inv_perm = np.argsort(perm).astype(np.int32)
 
     weight_scale = pop("weight_scale")
     weight_bias = pop("weight_bias")
@@ -208,6 +248,22 @@ def load_model(
     projections into single matmuls (dense formats only).
     """
     root = Path(checkpoint_dir)
+    if not root.exists():
+        # Hub reference (reference model_base.py:139-163): download the
+        # snapshot. Requires network access; community checkpoints are
+        # safetensors-only so *.bin is skipped.
+        import os
+
+        import huggingface_hub
+
+        token = os.environ.get("HF_TOKEN")
+        root = Path(
+            huggingface_hub.snapshot_download(
+                repo_id=checkpoint_dir,
+                ignore_patterns=["*.bin"],
+                token=token,
+            )
+        )
     with open(root / "config.json") as f:
         hf_config = json.load(f)
 
@@ -215,7 +271,7 @@ def load_model(
     qcfg = QuantizationConfig.from_dict(
         hf_config.get("quantization_config", {})
     )
-    state = load_state_dict(checkpoint_dir)
+    state = load_state_dict(str(root))
 
     from vptq_tpu.layers.runtime import to_runtime
 
@@ -224,20 +280,37 @@ def load_model(
             _linear(prefix, state, qcfg, dtype), runtime_format
         )
 
+    # phi3-style checkpoints store qkv and gate|up already fused
+    # (tensor names qkv_proj / gate_up_proj); our Attention/Mlp
+    # represent fused projections natively.
+    fused_ckpt = model_cfg.model_type in ("phi3", "phi3_v", "phimoe")
+
     blocks = []
     for i in range(model_cfg.num_hidden_layers):
         p = f"model.layers.{i}"
-        attn = Attention(
-            q_proj=lin(f"{p}.self_attn.q_proj"),
-            k_proj=lin(f"{p}.self_attn.k_proj"),
-            v_proj=lin(f"{p}.self_attn.v_proj"),
-            o_proj=lin(f"{p}.self_attn.o_proj"),
-        )
-        mlp = Mlp(
-            gate_proj=lin(f"{p}.mlp.gate_proj"),
-            up_proj=lin(f"{p}.mlp.up_proj"),
-            down_proj=lin(f"{p}.mlp.down_proj"),
-        )
+        if fused_ckpt:
+            attn = Attention(
+                q_proj=None, k_proj=None, v_proj=None,
+                o_proj=lin(f"{p}.self_attn.o_proj"),
+                qkv_proj=lin(f"{p}.self_attn.qkv_proj"),
+            )
+            mlp = Mlp(
+                gate_proj=None, up_proj=None,
+                down_proj=lin(f"{p}.mlp.down_proj"),
+                gate_up_proj=lin(f"{p}.mlp.gate_up_proj"),
+            )
+        else:
+            attn = Attention(
+                q_proj=lin(f"{p}.self_attn.q_proj"),
+                k_proj=lin(f"{p}.self_attn.k_proj"),
+                v_proj=lin(f"{p}.self_attn.v_proj"),
+                o_proj=lin(f"{p}.self_attn.o_proj"),
+            )
+            mlp = Mlp(
+                gate_proj=lin(f"{p}.mlp.gate_proj"),
+                up_proj=lin(f"{p}.mlp.up_proj"),
+                down_proj=lin(f"{p}.mlp.down_proj"),
+            )
         blocks.append(
             Block(
                 input_layernorm=state.pop(
@@ -274,4 +347,9 @@ def load_model(
         from vptq_tpu.layers.runtime import fuse_model
 
         model = fuse_model(model)
+    # single host->device upload of the final runtime representation
+    # (ingestion above is all-numpy on purpose)
+    import jax
+
+    model = jax.tree.map(jnp.asarray, model)
     return model

@@ -128,15 +128,24 @@ def write_synthetic_checkpoint(
     kv_out = mc.num_key_value_heads * mc.head_dim
     inter = mc.intermediate_size
 
-    proj_shapes = {
-        "self_attn.q_proj": (h, q_out),
-        "self_attn.k_proj": (h, kv_out),
-        "self_attn.v_proj": (h, kv_out),
-        "self_attn.o_proj": (q_out, h),
-        "mlp.gate_proj": (h, inter),
-        "mlp.up_proj": (h, inter),
-        "mlp.down_proj": (inter, h),
-    }
+    if mc.model_type in ("phi3", "phi3_v", "phimoe"):
+        # phi3 checkpoints ship fused projections
+        proj_shapes = {
+            "self_attn.qkv_proj": (h, q_out + 2 * kv_out),
+            "self_attn.o_proj": (q_out, h),
+            "mlp.gate_up_proj": (h, 2 * inter),
+            "mlp.down_proj": (inter, h),
+        }
+    else:
+        proj_shapes = {
+            "self_attn.q_proj": (h, q_out),
+            "self_attn.k_proj": (h, kv_out),
+            "self_attn.v_proj": (h, kv_out),
+            "self_attn.o_proj": (q_out, h),
+            "mlp.gate_proj": (h, inter),
+            "mlp.up_proj": (h, inter),
+            "mlp.down_proj": (inter, h),
+        }
 
     tensors: Dict[str, np.ndarray] = {}
     config_for_layers: Dict[str, dict] = {}
@@ -181,6 +190,7 @@ def write_synthetic_checkpoint(
     arch = {
         "llama": "LlamaForCausalLM",
         "qwen2": "Qwen2ForCausalLM",
+        "phi3": "Phi3ForCausalLM",
         "mistral": "MistralForCausalLM",
     }.get(mc.model_type, "LlamaForCausalLM")
     hf_config = {
