@@ -286,6 +286,8 @@ def fuse_model(model):
     """Fuse q|k|v and gate|up projections across all blocks."""
     from vptq_tpu.models.llama import Attention, Block, Mlp, Model
 
+    from vptq_tpu.models.llama import Mlp as _Mlp
+
     blocks = []
     for block in model.blocks:
         attn, mlp = block.attn, block.mlp
@@ -298,7 +300,11 @@ def fuse_model(model):
                     q_proj=None, k_proj=None, v_proj=None,
                     o_proj=attn.o_proj, qkv_proj=fused,
                 )
-        if mlp.gate_up_proj is None and mlp.gate_proj is not None:
+        if (
+            isinstance(mlp, _Mlp)
+            and mlp.gate_up_proj is None
+            and mlp.gate_proj is not None
+        ):
             fused = fuse_linears([mlp.gate_proj, mlp.up_proj])
             if fused is not None:
                 mlp = Mlp(

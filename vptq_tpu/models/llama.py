@@ -22,7 +22,14 @@ from vptq_tpu.layers.vqlinear import VQLinear
 
 Linear = Union[VQLinear, DenseLinear]
 
-__all__ = ["ModelConfig", "Block", "Model", "KVCache", "init_cache"]
+__all__ = [
+    "ModelConfig",
+    "Block",
+    "Model",
+    "KVCache",
+    "MoeMlp",
+    "init_cache",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +50,9 @@ class ModelConfig:
     model_type: str = "llama"
     # qwen2-style qkv bias (model config attention_bias / qkv_bias)
     attention_bias: bool = False
+    # sparse MoE (mixtral-style); 0 experts => dense MLP
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 0
     # sliding-window attention width; None = full causal (mistral/qwen
     # checkpoints may set this — decode masks cache reads beyond it)
     sliding_window: Optional[int] = None
@@ -74,6 +84,8 @@ class ModelConfig:
                 if d.get("use_sliding_window", True)
                 else None
             ),
+            num_local_experts=d.get("num_local_experts", 0),
+            num_experts_per_tok=d.get("num_experts_per_tok", 0),
         )
 
 
@@ -162,11 +174,29 @@ class Mlp:
 
 
 @struct.dataclass
+class MoeMlp:
+    """Mixtral-style sparse MoE block: softmax router + top-k experts.
+
+    Correctness-first evaluation: every expert runs on every token and
+    is mixed by its (zeroed outside top-k) routing weight — numerically
+    identical to gather/scatter routing and shape-static for XLA. The
+    decode fast path (dynamic-slice only the selected experts) is a
+    planned optimization.
+    """
+
+    router: Linear  # hidden -> num_experts
+    experts: Tuple[Mlp, ...]
+    num_experts_per_tok: int = struct.field(
+        pytree_node=False, default=2
+    )
+
+
+@struct.dataclass
 class Block:
     input_layernorm: jnp.ndarray
     attn: Attention
     post_attention_layernorm: jnp.ndarray
-    mlp: Mlp
+    mlp: Union[Mlp, MoeMlp]
 
 
 @struct.dataclass
@@ -295,7 +325,30 @@ def _attention(
     return attn.o_proj(out.astype(x.dtype)), new_cache
 
 
-def _mlp(mlp: Mlp, x: jnp.ndarray) -> jnp.ndarray:
+def _moe_mlp(moe: MoeMlp, x: jnp.ndarray) -> jnp.ndarray:
+    # router in fp32 (HF MixtralSparseMoeBlock does the same)
+    logits = moe.router(x).astype(jnp.float32)  # (..., E)
+    k = moe.num_experts_per_tok
+    top_w, top_ids = jax.lax.top_k(logits, k)
+    top_w = jax.nn.softmax(top_w, axis=-1)  # normalize over top-k
+    num_experts = len(moe.experts)
+    # scatter normalized weights back to a dense (..., E) mix tensor
+    mix = jnp.sum(
+        jax.nn.one_hot(top_ids, num_experts, dtype=jnp.float32)
+        * top_w[..., None],
+        axis=-2,
+    )
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e, expert in enumerate(moe.experts):
+        out = out + mix[..., e: e + 1] * _mlp(expert, x).astype(
+            jnp.float32
+        )
+    return out.astype(x.dtype)
+
+
+def _mlp(mlp, x: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(mlp, MoeMlp):
+        return _moe_mlp(mlp, x)
     if mlp.gate_up_proj is not None:
         gu = mlp.gate_up_proj(x)
         gate, up = jnp.split(gu, 2, axis=-1)

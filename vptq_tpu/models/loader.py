@@ -284,6 +284,28 @@ def load_model(
     # (tensor names qkv_proj / gate_up_proj); our Attention/Mlp
     # represent fused projections natively.
     fused_ckpt = model_cfg.model_type in ("phi3", "phi3_v", "phimoe")
+    moe = model_cfg.num_local_experts > 0
+
+    def moe_mlp(p):
+        # mixtral layout: block_sparse_moe.gate + experts.E.w1/w2/w3
+        # (w1=gate, w2=down, w3=up)
+        from vptq_tpu.models.llama import MoeMlp
+
+        experts = []
+        for e in range(model_cfg.num_local_experts):
+            ep = f"{p}.block_sparse_moe.experts.{e}"
+            experts.append(
+                Mlp(
+                    gate_proj=lin(f"{ep}.w1"),
+                    up_proj=lin(f"{ep}.w3"),
+                    down_proj=lin(f"{ep}.w2"),
+                )
+            )
+        return MoeMlp(
+            router=lin(f"{p}.block_sparse_moe.gate"),
+            experts=tuple(experts),
+            num_experts_per_tok=model_cfg.num_experts_per_tok,
+        )
 
     blocks = []
     for i in range(model_cfg.num_hidden_layers):
@@ -306,11 +328,14 @@ def load_model(
                 v_proj=lin(f"{p}.self_attn.v_proj"),
                 o_proj=lin(f"{p}.self_attn.o_proj"),
             )
-            mlp = Mlp(
-                gate_proj=lin(f"{p}.mlp.gate_proj"),
-                up_proj=lin(f"{p}.mlp.up_proj"),
-                down_proj=lin(f"{p}.mlp.down_proj"),
-            )
+            if moe:
+                mlp = moe_mlp(p)
+            else:
+                mlp = Mlp(
+                    gate_proj=lin(f"{p}.mlp.gate_proj"),
+                    up_proj=lin(f"{p}.mlp.up_proj"),
+                    down_proj=lin(f"{p}.mlp.down_proj"),
+                )
         blocks.append(
             Block(
                 input_layernorm=state.pop(

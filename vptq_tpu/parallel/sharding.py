@@ -26,7 +26,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vptq_tpu.layers.dense import DenseLinear
 from vptq_tpu.layers.vqlinear import VQLinear
-from vptq_tpu.models.llama import Attention, Block, KVCache, Mlp, Model
+from vptq_tpu.models.llama import (
+    Attention,
+    Block,
+    KVCache,
+    Mlp,
+    MoeMlp,
+    Model,
+)
 
 __all__ = [
     "make_mesh",
@@ -141,14 +148,35 @@ def shard_model(model: Model, mesh: Mesh) -> Model:
             o_proj=_shard_linear(block.attn.o_proj, mesh, False),
             qkv_proj=_shard_linear(block.attn.qkv_proj, mesh, True),
         )
-        mlp = Mlp(
-            gate_proj=_shard_linear(block.mlp.gate_proj, mesh, True),
-            up_proj=_shard_linear(block.mlp.up_proj, mesh, True),
-            down_proj=_shard_linear(block.mlp.down_proj, mesh, False),
-            gate_up_proj=_shard_linear(
-                block.mlp.gate_up_proj, mesh, True
-            ),
-        )
+        if isinstance(block.mlp, MoeMlp):
+            mlp = MoeMlp(
+                router=_shard_linear(block.mlp.router, mesh, True),
+                experts=tuple(
+                    Mlp(
+                        gate_proj=_shard_linear(e.gate_proj, mesh, True),
+                        up_proj=_shard_linear(e.up_proj, mesh, True),
+                        down_proj=_shard_linear(
+                            e.down_proj, mesh, False
+                        ),
+                        gate_up_proj=_shard_linear(
+                            e.gate_up_proj, mesh, True
+                        ),
+                    )
+                    for e in block.mlp.experts
+                ),
+                num_experts_per_tok=block.mlp.num_experts_per_tok,
+            )
+        else:
+            mlp = Mlp(
+                gate_proj=_shard_linear(block.mlp.gate_proj, mesh, True),
+                up_proj=_shard_linear(block.mlp.up_proj, mesh, True),
+                down_proj=_shard_linear(
+                    block.mlp.down_proj, mesh, False
+                ),
+                gate_up_proj=_shard_linear(
+                    block.mlp.gate_up_proj, mesh, True
+                ),
+            )
         blocks.append(
             Block(
                 input_layernorm=_put(block.input_layernorm, mesh, P()),

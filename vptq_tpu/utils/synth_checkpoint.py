@@ -128,7 +128,19 @@ def write_synthetic_checkpoint(
     kv_out = mc.num_key_value_heads * mc.head_dim
     inter = mc.intermediate_size
 
-    if mc.model_type in ("phi3", "phi3_v", "phimoe"):
+    if mc.num_local_experts > 0:
+        # mixtral layout: router + per-expert w1/w2/w3
+        proj_shapes = {
+            "self_attn.q_proj": (h, q_out),
+            "self_attn.k_proj": (h, kv_out),
+            "self_attn.v_proj": (h, kv_out),
+            "self_attn.o_proj": (q_out, h),
+        }
+        for e in range(mc.num_local_experts):
+            proj_shapes[f"block_sparse_moe.experts.{e}.w1"] = (h, inter)
+            proj_shapes[f"block_sparse_moe.experts.{e}.w3"] = (h, inter)
+            proj_shapes[f"block_sparse_moe.experts.{e}.w2"] = (inter, h)
+    elif mc.model_type in ("phi3", "phi3_v", "phimoe"):
         # phi3 checkpoints ship fused projections
         proj_shapes = {
             "self_attn.qkv_proj": (h, q_out + 2 * kv_out),
@@ -167,6 +179,13 @@ def write_synthetic_checkpoint(
                 )
             )
             config_for_layers[prefix] = cfg.to_dict()
+        if mc.num_local_experts > 0:
+            tensors[
+                f"model.layers.{i}.block_sparse_moe.gate.weight"
+            ] = (
+                0.02
+                * rng.standard_normal((mc.num_local_experts, h))
+            ).astype(dtype)
         tensors[f"model.layers.{i}.input_layernorm.weight"] = (
             np.ones(h, dtype=dtype)
             + 0.01 * rng.standard_normal(h).astype(dtype)
@@ -190,6 +209,7 @@ def write_synthetic_checkpoint(
     arch = {
         "llama": "LlamaForCausalLM",
         "qwen2": "Qwen2ForCausalLM",
+        "mixtral": "MixtralForCausalLM",
         "phi3": "Phi3ForCausalLM",
         "mistral": "MistralForCausalLM",
     }.get(mc.model_type, "LlamaForCausalLM")
@@ -206,6 +226,8 @@ def write_synthetic_checkpoint(
         "rms_norm_eps": mc.rms_norm_eps,
         "rope_theta": mc.rope_theta,
         "attention_bias": qkv_bias,
+        "num_local_experts": mc.num_local_experts,
+        "num_experts_per_tok": mc.num_experts_per_tok,
         "tie_word_embeddings": mc.tie_word_embeddings,
         "torch_dtype": "float16" if dtype == np.float16 else "bfloat16",
         "quantization_config": {
