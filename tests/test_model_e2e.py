@@ -166,3 +166,23 @@ def test_generator_runs(ckpt):
     assert all(0 <= t < model.cfg.vocab_size for t in out)
     # greedy decoding is deterministic
     assert out == gen.generate([1, 2, 3, 4], max_new_tokens=5)
+
+
+def test_long_prompt_chunked_prefill(ckpt):
+    """Prompts longer than the largest bucket must prefill in chunks
+    and match a generator with a big-enough single bucket."""
+    from vptq_tpu.serving.generate import Generator
+
+    model = load_model(str(ckpt), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(
+        0, model.cfg.vocab_size, size=37, dtype=np.int64
+    ).tolist()
+
+    small = Generator(model, max_seq=64, dtype=jnp.float32,
+                      prompt_buckets=(8, 16))
+    big = Generator(model, max_seq=64, dtype=jnp.float32,
+                    prompt_buckets=(64,))
+    out_small = small.generate(prompt, max_new_tokens=6)
+    out_big = big.generate(prompt, max_new_tokens=6)
+    assert out_small == out_big

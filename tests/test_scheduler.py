@@ -71,3 +71,16 @@ def test_scheduler_streaming_and_eos(tmp_path):
     out = sched.run()[rid]
     assert out == ref[: ref.index(eos) + 1]
     assert streamed == out
+
+
+def test_scheduler_long_prompt(tmp_path):
+    model = _model(tmp_path)
+    gen = Generator(model, max_seq=64, dtype=jnp.float32,
+                    prompt_buckets=(16,))
+    prompt = list(range(1, 38))  # longer than the 16-token bucket
+    ref = gen.generate(prompt, max_new_tokens=6)
+
+    sched = Scheduler(model, max_batch=2, max_seq=64,
+                      dtype=jnp.float32, chunk=4, prompt_buckets=(16,))
+    rid = sched.submit(prompt, max_new_tokens=6)
+    assert sched.run()[rid] == ref

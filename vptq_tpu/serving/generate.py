@@ -103,25 +103,40 @@ class Generator:
         if prompt.size == 0:
             raise ValueError("prompt must contain at least one token")
         plen = len(prompt)
-        bucket = _pad_bucket(plen, self.prompt_buckets)
+        if plen >= self.max_seq:
+            raise ValueError(
+                f"prompt length {plen} >= max_seq {self.max_seq}"
+            )
 
         cache = init_cache(self.model.cfg, 1, self.max_seq, self.dtype)
-        # right-pad the prompt into the bucket; pad positions are never
-        # attended to (cache length is rewound to the true length).
-        padded = np.zeros(bucket, dtype=np.int32)
-        padded[:plen] = prompt
-        logits, cache = self._prefill(
-            self.model, jnp.asarray(padded)[None, :], cache
-        )
-        cache = cache.replace(
-            lengths=jnp.full((1,), plen, jnp.int32)
-        )
+        # Prefill in bucket-sized chunks: each chunk is right-padded
+        # into its bucket; pad positions are never attended to because
+        # the cache length is rewound to the true length after each
+        # chunk (the next chunk/token overwrites the padded K/V rows).
+        max_bucket = self.prompt_buckets[-1]
+        logits = None
+        done = 0
+        last_len = 0
+        while done < plen:
+            chunk = prompt[done: done + max_bucket]
+            last_len = len(chunk)
+            bucket = _pad_bucket(last_len, self.prompt_buckets)
+            padded = np.zeros(bucket, dtype=np.int32)
+            padded[:last_len] = chunk
+            logits, cache = self._prefill(
+                self.model, jnp.asarray(padded)[None, :], cache
+            )
+            done += last_len
+            cache = cache.replace(
+                lengths=jnp.full((1,), done, jnp.int32)
+            )
+        last_logits = logits[:, last_len - 1]
 
-        first = jnp.argmax(logits[:, plen - 1], axis=-1).astype(jnp.int32)
+        first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
         if temperature > 0:
             key0 = jax.random.PRNGKey(seed)
             first = jax.random.categorical(
-                key0, logits[:, plen - 1] / temperature, axis=-1
+                key0, last_logits / temperature, axis=-1
             ).astype(jnp.int32)
 
         out_tokens = [int(first[0])]

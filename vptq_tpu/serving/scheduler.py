@@ -126,9 +126,11 @@ class Scheduler:
         self._chunk_idx = 0
 
         @functools.partial(jax.jit, static_argnames=("dtype",))
-        def _prefill_one(model, tokens, dtype=self.dtype):
-            cache1 = init_cache(
-                model.cfg, 1, self.max_seq, dtype
+        def _prefill_one(model, tokens, cache1, start, dtype=self.dtype):
+            if cache1 is None:
+                cache1 = init_cache(model.cfg, 1, self.max_seq, dtype)
+            cache1 = cache1.replace(
+                lengths=jnp.full((1,), start, jnp.int32)
             )
             logits, cache1 = forward(
                 model, tokens, cache1, dtype=dtype
@@ -191,16 +193,29 @@ class Scheduler:
                 continue
             req = self.pending.popleft()
             plen = len(req.prompt)
-            bucket = next(
-                (b for b in self.prompt_buckets if plen <= b),
-                self.prompt_buckets[-1],
-            )
-            padded = np.zeros(bucket, dtype=np.int32)
-            padded[:plen] = req.prompt
-            logits, cache1 = self._prefill_one(
-                self.model, jnp.asarray(padded)[None, :]
-            )
-            first_logits = logits[0, plen - 1]
+            # chunked prefill (prompts may exceed the largest bucket)
+            max_bucket = self.prompt_buckets[-1]
+            done = 0
+            last_len = 0
+            cache1 = None
+            logits = None
+            while done < plen:
+                chunk = req.prompt[done: done + max_bucket]
+                last_len = len(chunk)
+                bucket = next(
+                    (b for b in self.prompt_buckets if last_len <= b),
+                    max_bucket,
+                )
+                padded = np.zeros(bucket, dtype=np.int32)
+                padded[:last_len] = chunk
+                logits, cache1 = self._prefill_one(
+                    self.model,
+                    jnp.asarray(padded)[None, :],
+                    cache1,
+                    jnp.asarray(done, jnp.int32),
+                )
+                done += last_len
+            first_logits = logits[0, last_len - 1]
             if req.temperature > 0:
                 key = jax.random.PRNGKey(req.seed)
                 first = int(
