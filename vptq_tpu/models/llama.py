@@ -53,6 +53,22 @@ class ModelConfig:
     # sparse MoE (mixtral-style); 0 experts => dense MLP
     num_local_experts: int = 0
     num_experts_per_tok: int = 0
+    max_position_embeddings: int = 4096
+    # --- DeepSeek-V2/V3 MLA + fine-grained MoE -----------------------
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    rope_interleave: bool = False
+    moe_intermediate_size: int = 0
+    n_routed_experts: int = 0
+    n_shared_experts: int = 0
+    n_group: int = 1
+    topk_group: int = 1
+    norm_topk_prob: bool = True
+    routed_scaling_factor: float = 1.0
+    first_k_dense_replace: int = 0
     # sliding-window attention width; None = full causal (mistral/qwen
     # checkpoints may set this — decode masks cache reads beyond it)
     sliding_window: Optional[int] = None
@@ -86,7 +102,46 @@ class ModelConfig:
             ),
             num_local_experts=d.get("num_local_experts", 0),
             num_experts_per_tok=d.get("num_experts_per_tok", 0),
+            max_position_embeddings=d.get(
+                "max_position_embeddings", 4096
+            ),
+            q_lora_rank=d.get("q_lora_rank"),
+            kv_lora_rank=d.get("kv_lora_rank") or 0,
+            qk_nope_head_dim=d.get("qk_nope_head_dim", 0),
+            qk_rope_head_dim=d.get("qk_rope_head_dim", 0),
+            v_head_dim=d.get("v_head_dim", 0),
+            rope_interleave=d.get("rope_interleave", False),
+            moe_intermediate_size=d.get("moe_intermediate_size", 0),
+            n_routed_experts=d.get("n_routed_experts") or 0,
+            n_shared_experts=d.get("n_shared_experts") or 0,
+            n_group=d.get("n_group") or 1,
+            topk_group=d.get("topk_group") or 1,
+            norm_topk_prob=d.get("norm_topk_prob", True),
+            routed_scaling_factor=d.get("routed_scaling_factor", 1.0),
+            first_k_dense_replace=d.get("first_k_dense_replace", 0),
         )
+
+    # --- MLA (DeepSeek) derived geometry -----------------------------
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @property
+    def cache_k_dim(self) -> int:
+        return self.qk_head_dim if self.is_mla else self.head_dim
+
+    @property
+    def cache_v_dim(self) -> int:
+        return self.v_head_dim if self.is_mla else self.head_dim
+
+    @property
+    def rope_dim(self) -> int:
+        return self.qk_rope_head_dim if self.is_mla else self.head_dim
 
 
 # --------------------------------------------------------------------
@@ -94,14 +149,71 @@ class ModelConfig:
 # --------------------------------------------------------------------
 
 
-def rope_frequencies(cfg: ModelConfig) -> jnp.ndarray:
-    """Per-pair inverse frequencies, with llama3-style scaling."""
-    dim = cfg.head_dim
+def rope_frequencies(cfg: ModelConfig) -> Tuple[jnp.ndarray, float]:
+    """(per-pair inverse frequencies, cos/sin attention scaling).
+
+    Supports default, llama3 and yarn (DeepSeek) scaling — semantics of
+    HF transformers' ROPE_INIT_FUNCTIONS.
+    """
+    import math
+
+    dim = cfg.rope_dim
     inv_freq = 1.0 / (
         cfg.rope_theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
     )
+    attention_scaling = 1.0
     scaling = dict(cfg.rope_scaling) if cfg.rope_scaling else None
-    if scaling and scaling.get("rope_type", scaling.get("type")) == "llama3":
+    if scaling and scaling.get("rope_type", scaling.get("type")) == "yarn":
+        factor = scaling["factor"]
+        beta_fast = scaling.get("beta_fast") or 32
+        beta_slow = scaling.get("beta_slow") or 1
+        mscale = scaling.get("mscale")
+        mscale_all_dim = scaling.get("mscale_all_dim")
+        orig_max = (
+            scaling.get("original_max_position_embeddings")
+            or cfg.max_position_embeddings
+        )
+
+        def get_mscale(scale, m=1):
+            if scale <= 1:
+                return 1.0
+            return 0.1 * m * math.log(scale) + 1.0
+
+        attention_scaling = scaling.get("attention_factor")
+        if attention_scaling is None:
+            if mscale and mscale_all_dim:
+                attention_scaling = float(
+                    get_mscale(factor, mscale)
+                    / get_mscale(factor, mscale_all_dim)
+                )
+            else:
+                attention_scaling = get_mscale(factor)
+
+        def correction_dim(rot):
+            return (
+                dim
+                * math.log(orig_max / (rot * 2 * math.pi))
+                / (2 * math.log(cfg.rope_theta))
+            )
+
+        low = max(math.floor(correction_dim(beta_fast)), 0)
+        high = min(math.ceil(correction_dim(beta_slow)), dim - 1)
+        if low == high:
+            high += 0.001
+        ramp = jnp.clip(
+            (jnp.arange(dim // 2, dtype=jnp.float32) - low)
+            / (high - low),
+            0,
+            1,
+        )
+        extrapolation_factor = 1.0 - ramp
+        inv_freq = (
+            inv_freq / factor * (1 - extrapolation_factor)
+            + inv_freq * extrapolation_factor
+        )
+    elif scaling and scaling.get(
+        "rope_type", scaling.get("type")
+    ) == "llama3":
         factor = scaling["factor"]
         low_factor = scaling["low_freq_factor"]
         high_factor = scaling["high_freq_factor"]
@@ -122,17 +234,30 @@ def rope_frequencies(cfg: ModelConfig) -> jnp.ndarray:
             ),
         )
         inv_freq = scaled
-    return inv_freq
+    return inv_freq, attention_scaling
 
 
 def apply_rope(
     x: jnp.ndarray,  # (B, S, H, D)
     positions: jnp.ndarray,  # (B, S)
     inv_freq: jnp.ndarray,  # (D/2,)
+    scale: float = 1.0,
+    interleaved: bool = False,
 ) -> jnp.ndarray:
+    """Rotary embedding, half-split pairing (HF rotate_half semantics).
+
+    ``interleaved`` deinterleaves pairs (2i, 2i+1) first — DeepSeek
+    checkpoints store rope weights interleaved; both q and k undergo
+    the same shuffle so dot products are consistent (HF
+    apply_rotary_pos_emb_interleave).
+    """
+    if interleaved:
+        b, s, h, d = x.shape
+        x = x.reshape(b, s, h, d // 2, 2).transpose(0, 1, 2, 4, 3)
+        x = x.reshape(b, s, h, d)
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B,S,D/2)
-    cos = jnp.cos(angles)[:, :, None, :]
-    sin = jnp.sin(angles)[:, :, None, :]
+    cos = jnp.cos(angles)[:, :, None, :] * scale
+    sin = jnp.sin(angles)[:, :, None, :] * scale
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
@@ -192,11 +317,49 @@ class MoeMlp:
 
 
 @struct.dataclass
+class MlaAttention:
+    """DeepSeek-V2/V3 multi-head latent attention parameters.
+
+    Layout mirrors the HF module (modeling_deepseek_v3.py
+    DeepseekV3Attention): optional low-rank q path, compressed kv with
+    a shared rope head, per-head nope/value expansion.
+    """
+
+    kv_a_proj: Linear  # kv_a_proj_with_mqa
+    kv_a_norm: jnp.ndarray
+    kv_b_proj: Linear
+    o_proj: Linear
+    q_proj: Optional[Linear] = None  # when q_lora_rank is None
+    q_a_proj: Optional[Linear] = None
+    q_a_norm: Optional[jnp.ndarray] = None
+    q_b_proj: Optional[Linear] = None
+
+
+@struct.dataclass
+class DeepseekMoe:
+    """DeepSeek-V3 fine-grained MoE: sigmoid scores with correction
+    bias, group-limited top-k routing, shared experts
+    (HF DeepseekV3TopkRouter/DeepseekV3MoE semantics)."""
+
+    router_weight: jnp.ndarray  # (E, hidden) f32
+    correction_bias: jnp.ndarray  # (E,) f32
+    experts: Tuple[Mlp, ...]
+    shared_experts: Mlp
+    top_k: int = struct.field(pytree_node=False, default=8)
+    n_group: int = struct.field(pytree_node=False, default=1)
+    topk_group: int = struct.field(pytree_node=False, default=1)
+    norm_topk_prob: bool = struct.field(pytree_node=False, default=True)
+    routed_scaling_factor: float = struct.field(
+        pytree_node=False, default=1.0
+    )
+
+
+@struct.dataclass
 class Block:
     input_layernorm: jnp.ndarray
-    attn: Attention
+    attn: Union[Attention, MlaAttention]
     post_attention_layernorm: jnp.ndarray
-    mlp: Union[Mlp, MoeMlp]
+    mlp: Union[Mlp, MoeMlp, DeepseekMoe]
 
 
 @struct.dataclass
@@ -224,16 +387,14 @@ class KVCache:
 def init_cache(
     cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
 ) -> KVCache:
-    shape = (
-        cfg.num_hidden_layers,
-        batch,
-        max_seq,
-        cfg.num_key_value_heads,
-        cfg.head_dim,
+    kv_heads = (
+        cfg.num_attention_heads if cfg.is_mla
+        else cfg.num_key_value_heads
     )
+    base = (cfg.num_hidden_layers, batch, max_seq, kv_heads)
     return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=jnp.zeros(base + (cfg.cache_k_dim,), dtype),
+        v=jnp.zeros(base + (cfg.cache_v_dim,), dtype),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
 
@@ -275,7 +436,28 @@ def _attention(
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
 
-    # insert into cache at each sequence's own offset
+    out, new_cache = _cache_and_attend(
+        block_idx, q, k, v, cache, cfg, scale=hd ** -0.5
+    )
+    return attn.o_proj(out.astype(x.dtype)), new_cache
+
+
+def _cache_and_attend(
+    block_idx: int,
+    q: jnp.ndarray,  # (B, S, H, Dk)
+    k: jnp.ndarray,  # (B, S, KV, Dk)
+    v: jnp.ndarray,  # (B, S, KV, Dv)
+    cache: KVCache,
+    cfg: ModelConfig,
+    scale: float,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Insert k/v at each sequence's offset and run masked attention.
+
+    Shared by standard GQA and MLA paths (H == KV * group).
+    """
+    batch, seq, nh, dk = q.shape
+    nkv = k.shape[2]
+    dv = v.shape[3]
     offsets = cache.lengths  # (B,)
 
     # per-row dynamic start along the sequence axis
@@ -298,12 +480,12 @@ def _attention(
     max_seq = k_cache.shape[1]
     group = nh // nkv
     # (B, kv, group, S, D)
-    qg = q.reshape(batch, seq, nkv, group, hd).transpose(0, 2, 3, 1, 4)
+    qg = q.reshape(batch, seq, nkv, group, dk).transpose(0, 2, 3, 1, 4)
     kT = k_cache.transpose(0, 2, 3, 1)  # (B, kv, D, T)
     scores = jnp.einsum(
         "bkgsd,bkdt->bkgst", qg.astype(jnp.float32),
         kT.astype(jnp.float32),
-    ) / jnp.sqrt(hd).astype(jnp.float32)
+    ) * jnp.float32(scale)
 
     # causal + validity mask over cache positions (per sequence)
     t_ids = jnp.arange(max_seq)[None, None, None, None, :]
@@ -321,8 +503,120 @@ def _attention(
     out = jnp.einsum(
         "bkgst,btkd->bkgsd", probs, v_cache.astype(jnp.float32)
     )
-    out = out.transpose(0, 3, 1, 2, 4).reshape(batch, seq, nh * hd)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(batch, seq, nh * dv)
+    return out, new_cache
+
+
+def _mla_attention(
+    block_idx: int,
+    attn: MlaAttention,
+    x: jnp.ndarray,  # (B, S, hidden)
+    positions: jnp.ndarray,
+    inv_freq: jnp.ndarray,
+    rope_scale: float,
+    cache: KVCache,
+    cfg: ModelConfig,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """DeepSeek MLA forward (HF DeepseekV3Attention semantics)."""
+    import math
+
+    batch, seq, _ = x.shape
+    nh = cfg.num_attention_heads
+    dn, dr, dv = (
+        cfg.qk_nope_head_dim,
+        cfg.qk_rope_head_dim,
+        cfg.v_head_dim,
+    )
+
+    if attn.q_proj is not None:
+        q = attn.q_proj(x)
+    else:
+        q = attn.q_b_proj(
+            rms_norm(attn.q_a_proj(x), attn.q_a_norm, cfg.rms_norm_eps)
+        )
+    q = q.reshape(batch, seq, nh, dn + dr)
+    q_nope, q_rot = jnp.split(q, [dn], axis=-1)
+
+    ckv = attn.kv_a_proj(x)  # (B, S, kv_lora + dr)
+    k_pass, k_rot = jnp.split(ckv, [cfg.kv_lora_rank], axis=-1)
+    kv = attn.kv_b_proj(
+        rms_norm(k_pass, attn.kv_a_norm, cfg.rms_norm_eps)
+    ).reshape(batch, seq, nh, dn + dv)
+    k_nope, v = jnp.split(kv, [dn], axis=-1)
+    k_rot = k_rot.reshape(batch, seq, 1, dr)
+
+    q_rot = apply_rope(
+        q_rot, positions, inv_freq, rope_scale, cfg.rope_interleave
+    )
+    k_rot = apply_rope(
+        k_rot, positions, inv_freq, rope_scale, cfg.rope_interleave
+    )
+    k_rot = jnp.broadcast_to(k_rot, (batch, seq, nh, dr))
+
+    q_full = jnp.concatenate([q_nope, q_rot], axis=-1)
+    k_full = jnp.concatenate([k_nope, k_rot], axis=-1)
+
+    # softmax scaling with yarn mscale (DeepseekV3Attention.__init__)
+    scale = cfg.qk_head_dim ** -0.5
+    scaling = dict(cfg.rope_scaling) if cfg.rope_scaling else None
+    if scaling is not None:
+        mscale_all_dim = scaling.get("mscale_all_dim", 0) or 0
+        factor = scaling.get("factor", 1.0)
+        if mscale_all_dim and factor > 1:
+            mscale = 0.1 * mscale_all_dim * math.log(factor) + 1.0
+            scale = scale * mscale * mscale
+
+    out, new_cache = _cache_and_attend(
+        block_idx, q_full, k_full, v, cache, cfg, scale=scale
+    )
     return attn.o_proj(out.astype(x.dtype)), new_cache
+
+
+def _deepseek_moe(moe: DeepseekMoe, x: jnp.ndarray) -> jnp.ndarray:
+    """Sigmoid scores + correction-bias group-limited top-k routing
+    (HF DeepseekV3TopkRouter.get_topk_indices semantics)."""
+    lead = x.shape[:-1]
+    num_experts = moe.router_weight.shape[0]
+    scores = jax.nn.sigmoid(
+        x.astype(jnp.float32) @ moe.router_weight.T.astype(jnp.float32)
+    )  # (..., E)
+    choice = scores + moe.correction_bias.astype(jnp.float32)
+
+    group_size = num_experts // moe.n_group
+    grouped = choice.reshape(*lead, moe.n_group, group_size)
+    top2 = jax.lax.top_k(grouped, min(2, group_size))[0]
+    group_scores = jnp.sum(top2, axis=-1)  # (..., n_group)
+    _, group_idx = jax.lax.top_k(group_scores, moe.topk_group)
+    group_mask = jnp.sum(
+        jax.nn.one_hot(group_idx, moe.n_group, dtype=jnp.float32),
+        axis=-2,
+    )  # (..., n_group)
+    expert_mask = jnp.repeat(
+        group_mask, group_size, axis=-1
+    )  # (..., E)
+    masked_choice = jnp.where(expert_mask > 0, choice, 0.0)
+
+    _, top_ids = jax.lax.top_k(masked_choice, moe.top_k)
+    # weights come from the raw scores (without correction bias)
+    top_w = jnp.take_along_axis(scores, top_ids, axis=-1)
+    if moe.norm_topk_prob:
+        top_w = top_w / (
+            jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20
+        )
+    top_w = top_w * moe.routed_scaling_factor
+
+    mix = jnp.sum(
+        jax.nn.one_hot(top_ids, num_experts, dtype=jnp.float32)
+        * top_w[..., None],
+        axis=-2,
+    )  # (..., E)
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e, expert in enumerate(moe.experts):
+        out = out + mix[..., e: e + 1] * _mlp(expert, x).astype(
+            jnp.float32
+        )
+    out = out.astype(x.dtype) + _mlp(moe.shared_experts, x)
+    return out
 
 
 def _moe_mlp(moe: MoeMlp, x: jnp.ndarray) -> jnp.ndarray:
@@ -349,6 +643,8 @@ def _moe_mlp(moe: MoeMlp, x: jnp.ndarray) -> jnp.ndarray:
 def _mlp(mlp, x: jnp.ndarray) -> jnp.ndarray:
     if isinstance(mlp, MoeMlp):
         return _moe_mlp(mlp, x)
+    if isinstance(mlp, DeepseekMoe):
+        return _deepseek_moe(mlp, x)
     if mlp.gate_up_proj is not None:
         gu = mlp.gate_up_proj(x)
         gate, up = jnp.split(gu, 2, axis=-1)
@@ -373,13 +669,19 @@ def forward(
         cache.lengths[:, None]
         + jnp.arange(seq)[None, :].astype(jnp.int32)
     )
-    inv_freq = rope_frequencies(cfg)
+    inv_freq, rope_scale = rope_frequencies(cfg)
 
     for i, block in enumerate(model.blocks):
         h = rms_norm(x, block.input_layernorm, cfg.rms_norm_eps)
-        attn_out, cache = _attention(
-            i, block.attn, h, positions, inv_freq, cache, cfg
-        )
+        if isinstance(block.attn, MlaAttention):
+            attn_out, cache = _mla_attention(
+                i, block.attn, h, positions, inv_freq, rope_scale,
+                cache, cfg,
+            )
+        else:
+            attn_out, cache = _attention(
+                i, block.attn, h, positions, inv_freq, cache, cfg
+            )
         x = x + attn_out
         h = rms_norm(x, block.post_attention_layernorm, cfg.rms_norm_eps)
         x = x + _mlp(block.mlp, h)

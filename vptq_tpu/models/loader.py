@@ -30,7 +30,14 @@ import numpy as np
 from vptq_tpu.config import QuantizationConfig, VQLinearConfig
 from vptq_tpu.layers.dense import DenseLinear
 from vptq_tpu.layers.vqlinear import VQLinear
-from vptq_tpu.models.llama import Attention, Block, Mlp, Model, ModelConfig
+from vptq_tpu.models.llama import (
+    Attention,
+    Block,
+    MlaAttention,
+    Mlp,
+    Model,
+    ModelConfig,
+)
 from vptq_tpu.ops.packing import index_plane_dtype
 
 logger = logging.getLogger("vptq_tpu")
@@ -285,6 +292,70 @@ def load_model(
     # represent fused projections natively.
     fused_ckpt = model_cfg.model_type in ("phi3", "phi3_v", "phimoe")
     moe = model_cfg.num_local_experts > 0
+    deepseek = model_cfg.is_mla
+
+    def dense_mlp(p):
+        return Mlp(
+            gate_proj=lin(f"{p}.gate_proj"),
+            up_proj=lin(f"{p}.up_proj"),
+            down_proj=lin(f"{p}.down_proj"),
+        )
+
+    def mla_attention(p):
+        if model_cfg.q_lora_rank:
+            q_kwargs = dict(
+                q_a_proj=lin(f"{p}.q_a_proj"),
+                q_a_norm=jnp.asarray(
+                    np.asarray(
+                        state.pop(f"{p}.q_a_layernorm.weight")
+                    ).astype(np.float32)
+                ),
+                q_b_proj=lin(f"{p}.q_b_proj"),
+            )
+        else:
+            q_kwargs = dict(q_proj=lin(f"{p}.q_proj"))
+        return MlaAttention(
+            kv_a_proj=lin(f"{p}.kv_a_proj_with_mqa"),
+            kv_a_norm=jnp.asarray(
+                np.asarray(
+                    state.pop(f"{p}.kv_a_layernorm.weight")
+                ).astype(np.float32)
+            ),
+            kv_b_proj=lin(f"{p}.kv_b_proj"),
+            o_proj=lin(f"{p}.o_proj"),
+            **q_kwargs,
+        )
+
+    def deepseek_moe(p, layer_idx):
+        from vptq_tpu.models.llama import DeepseekMoe
+
+        if layer_idx < model_cfg.first_k_dense_replace:
+            return dense_mlp(f"{p}.mlp")
+        experts = tuple(
+            dense_mlp(f"{p}.mlp.experts.{e}")
+            for e in range(model_cfg.n_routed_experts)
+        )
+        return DeepseekMoe(
+            router_weight=jnp.asarray(
+                np.asarray(
+                    state.pop(f"{p}.mlp.gate.weight")
+                ).astype(np.float32)
+            ),
+            correction_bias=jnp.asarray(
+                np.asarray(
+                    state.pop(
+                        f"{p}.mlp.gate.e_score_correction_bias"
+                    )
+                ).astype(np.float32)
+            ),
+            experts=experts,
+            shared_experts=dense_mlp(f"{p}.mlp.shared_experts"),
+            top_k=model_cfg.num_experts_per_tok,
+            n_group=model_cfg.n_group,
+            topk_group=model_cfg.topk_group,
+            norm_topk_prob=model_cfg.norm_topk_prob,
+            routed_scaling_factor=model_cfg.routed_scaling_factor,
+        )
 
     def moe_mlp(p):
         # mixtral layout: block_sparse_moe.gate + experts.E.w1/w2/w3
@@ -310,7 +381,10 @@ def load_model(
     blocks = []
     for i in range(model_cfg.num_hidden_layers):
         p = f"model.layers.{i}"
-        if fused_ckpt:
+        if deepseek:
+            attn = mla_attention(f"{p}.self_attn")
+            mlp = deepseek_moe(p, i)
+        elif fused_ckpt:
             attn = Attention(
                 q_proj=None, k_proj=None, v_proj=None,
                 o_proj=lin(f"{p}.self_attn.o_proj"),

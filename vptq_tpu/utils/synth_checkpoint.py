@@ -128,7 +128,28 @@ def write_synthetic_checkpoint(
     kv_out = mc.num_key_value_heads * mc.head_dim
     inter = mc.intermediate_size
 
-    if mc.num_local_experts > 0:
+    if mc.is_mla:
+        # DeepSeek-V3: MLA attention + fine-grained MoE
+        nh = mc.num_attention_heads
+        qk_hd = mc.qk_nope_head_dim + mc.qk_rope_head_dim
+        proj_shapes = {
+            "self_attn.kv_a_proj_with_mqa": (
+                h, mc.kv_lora_rank + mc.qk_rope_head_dim
+            ),
+            "self_attn.kv_b_proj": (
+                mc.kv_lora_rank,
+                nh * (mc.qk_nope_head_dim + mc.v_head_dim),
+            ),
+            "self_attn.o_proj": (nh * mc.v_head_dim, h),
+        }
+        if mc.q_lora_rank:
+            proj_shapes["self_attn.q_a_proj"] = (h, mc.q_lora_rank)
+            proj_shapes["self_attn.q_b_proj"] = (
+                mc.q_lora_rank, nh * qk_hd
+            )
+        else:
+            proj_shapes["self_attn.q_proj"] = (h, nh * qk_hd)
+    elif mc.num_local_experts > 0:
         # mixtral layout: router + per-expert w1/w2/w3
         proj_shapes = {
             "self_attn.q_proj": (h, q_out),
@@ -162,7 +183,40 @@ def write_synthetic_checkpoint(
     tensors: Dict[str, np.ndarray] = {}
     config_for_layers: Dict[str, dict] = {}
     for i in range(mc.num_hidden_layers):
-        for name, (in_f, out_f) in proj_shapes.items():
+        layer_shapes = dict(proj_shapes)
+        if mc.is_mla:
+            if i < mc.first_k_dense_replace or mc.n_routed_experts == 0:
+                layer_shapes["mlp.gate_proj"] = (h, inter)
+                layer_shapes["mlp.up_proj"] = (h, inter)
+                layer_shapes["mlp.down_proj"] = (inter, h)
+            else:
+                mi = mc.moe_intermediate_size
+                for e in range(mc.n_routed_experts):
+                    layer_shapes[f"mlp.experts.{e}.gate_proj"] = (h, mi)
+                    layer_shapes[f"mlp.experts.{e}.up_proj"] = (h, mi)
+                    layer_shapes[f"mlp.experts.{e}.down_proj"] = (mi, h)
+                smi = mi * mc.n_shared_experts
+                layer_shapes["mlp.shared_experts.gate_proj"] = (h, smi)
+                layer_shapes["mlp.shared_experts.up_proj"] = (h, smi)
+                layer_shapes["mlp.shared_experts.down_proj"] = (smi, h)
+                tensors[f"model.layers.{i}.mlp.gate.weight"] = (
+                    0.05 * rng.standard_normal(
+                        (mc.n_routed_experts, h)
+                    )
+                ).astype(np.float32)
+                tensors[
+                    f"model.layers.{i}.mlp.gate.e_score_correction_bias"
+                ] = (
+                    0.1 * rng.standard_normal(mc.n_routed_experts)
+                ).astype(np.float32)
+            tensors[
+                f"model.layers.{i}.self_attn.kv_a_layernorm.weight"
+            ] = np.ones(mc.kv_lora_rank, dtype=dtype)
+            if mc.q_lora_rank:
+                tensors[
+                    f"model.layers.{i}.self_attn.q_a_layernorm.weight"
+                ] = np.ones(mc.q_lora_rank, dtype=dtype)
+        for name, (in_f, out_f) in layer_shapes.items():
             prefix = f"model.layers.{i}.{name}"
             has_bias = qkv_bias and name in (
                 "self_attn.q_proj", "self_attn.k_proj",
@@ -210,6 +264,7 @@ def write_synthetic_checkpoint(
         "llama": "LlamaForCausalLM",
         "qwen2": "Qwen2ForCausalLM",
         "mixtral": "MixtralForCausalLM",
+        "deepseek_v3": "DeepseekV3ForCausalLM",
         "phi3": "Phi3ForCausalLM",
         "mistral": "MistralForCausalLM",
     }.get(mc.model_type, "LlamaForCausalLM")
@@ -226,6 +281,21 @@ def write_synthetic_checkpoint(
         "rms_norm_eps": mc.rms_norm_eps,
         "rope_theta": mc.rope_theta,
         "attention_bias": qkv_bias,
+        "max_position_embeddings": mc.max_position_embeddings,
+        "q_lora_rank": mc.q_lora_rank,
+        "kv_lora_rank": mc.kv_lora_rank or None,
+        "qk_nope_head_dim": mc.qk_nope_head_dim,
+        "qk_rope_head_dim": mc.qk_rope_head_dim,
+        "v_head_dim": mc.v_head_dim,
+        "rope_interleave": mc.rope_interleave,
+        "moe_intermediate_size": mc.moe_intermediate_size,
+        "n_routed_experts": mc.n_routed_experts or None,
+        "n_shared_experts": mc.n_shared_experts or None,
+        "n_group": mc.n_group,
+        "topk_group": mc.topk_group,
+        "norm_topk_prob": mc.norm_topk_prob,
+        "routed_scaling_factor": mc.routed_scaling_factor,
+        "first_k_dense_replace": mc.first_k_dense_replace,
         "num_local_experts": mc.num_local_experts,
         "num_experts_per_tok": mc.num_experts_per_tok,
         "tie_word_embeddings": mc.tie_word_embeddings,
