@@ -95,3 +95,21 @@ def test_ppl_matches_hf_cross_entropy(tmp_path):
     hf_ppl = float(np.exp(nll_sum / cnt))
 
     assert abs(ppl - hf_ppl) / hf_ppl < 5e-3, (ppl, hf_ppl)
+
+
+def test_reconstruction_error_diagnostics():
+    from vptq_tpu.eval.diagnostics import reconstruction_error
+    from vptq_tpu.layers.runtime import _exact_weight
+    from vptq_tpu.utils.synth import make_config, make_layer
+
+    cfg = make_config(in_features=64, out_features=32, vector_len=4,
+                      num_centroids=32)
+    layer = make_layer(cfg, seed=6)
+    w = _exact_weight(layer)
+
+    # perfect reconstruction -> zero error
+    r = reconstruction_error(layer, w)
+    assert r["error_mean"] < 1e-10
+    # perturbed original -> positive normalized error
+    r2 = reconstruction_error(layer, w + 0.1)
+    assert r2["norm_error"] > 0

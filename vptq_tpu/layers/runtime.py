@@ -291,7 +291,11 @@ def fuse_model(model):
     blocks = []
     for block in model.blocks:
         attn, mlp = block.attn, block.mlp
-        if attn.qkv_proj is None and attn.q_proj is not None:
+        if (
+            isinstance(attn, Attention)
+            and attn.qkv_proj is None
+            and attn.q_proj is not None
+        ):
             fused = fuse_linears(
                 [attn.q_proj, attn.k_proj, attn.v_proj]
             )
