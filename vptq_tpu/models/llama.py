@@ -404,6 +404,23 @@ def init_cache(
 # --------------------------------------------------------------------
 
 
+def _flash_enabled() -> bool:
+    """Fused flash-attention prefill (jax.experimental.pallas TPU op).
+
+    Off by default until validated on hardware; enable with
+    VPTQ_TPU_FLASH=1. Only used for fresh prefills (cache offset 0) on
+    standard attention without sliding windows.
+    """
+    import os
+
+    import jax
+
+    return (
+        os.environ.get("VPTQ_TPU_FLASH", "0") == "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _attention(
     block_idx: int,
     attn: Attention,
@@ -412,6 +429,7 @@ def _attention(
     inv_freq: jnp.ndarray,
     cache: KVCache,
     cfg: ModelConfig,
+    fresh_prefill: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     batch, seq, _ = x.shape
     nh, nkv, hd = (
@@ -436,10 +454,56 @@ def _attention(
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
 
+    if (
+        fresh_prefill
+        and seq >= 128
+        and cfg.sliding_window is None
+        and _flash_enabled()
+    ):
+        # fused causal attention over the fresh chunk only (offset 0)
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        new_cache = _insert_kv(block_idx, k, v, cache)
+        group = nh // nkv
+        k_exp = jnp.repeat(k, group, axis=2) if group > 1 else k
+        v_exp = jnp.repeat(v, group, axis=2) if group > 1 else v
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3).astype(jnp.float32),
+            k_exp.transpose(0, 2, 1, 3).astype(jnp.float32),
+            v_exp.transpose(0, 2, 1, 3).astype(jnp.float32),
+            causal=True,
+            sm_scale=hd ** -0.5,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(batch, seq, nh * hd)
+        return attn.o_proj(out.astype(x.dtype)), new_cache
+
     out, new_cache = _cache_and_attend(
         block_idx, q, k, v, cache, cfg, scale=hd ** -0.5
     )
     return attn.o_proj(out.astype(x.dtype)), new_cache
+
+
+def _insert_kv(
+    block_idx: int, k: jnp.ndarray, v: jnp.ndarray, cache: KVCache
+) -> KVCache:
+    offsets = cache.lengths
+    k_cache = jax.vmap(
+        lambda buf, new, off: jax.lax.dynamic_update_slice(
+            buf, new, (off, 0, 0)
+        )
+    )(cache.k[block_idx], k.astype(cache.k.dtype), offsets)
+    v_cache = jax.vmap(
+        lambda buf, new, off: jax.lax.dynamic_update_slice(
+            buf, new, (off, 0, 0)
+        )
+    )(cache.v[block_idx], v.astype(cache.v.dtype), offsets)
+    return KVCache(
+        k=cache.k.at[block_idx].set(k_cache),
+        v=cache.v.at[block_idx].set(v_cache),
+        lengths=cache.lengths,
+    )
 
 
 def _cache_and_attend(
@@ -460,22 +524,9 @@ def _cache_and_attend(
     dv = v.shape[3]
     offsets = cache.lengths  # (B,)
 
-    # per-row dynamic start along the sequence axis
-    k_cache = jax.vmap(
-        lambda buf, new, off: jax.lax.dynamic_update_slice(
-            buf, new, (off, 0, 0)
-        )
-    )(cache.k[block_idx], k.astype(cache.k.dtype), offsets)
-    v_cache = jax.vmap(
-        lambda buf, new, off: jax.lax.dynamic_update_slice(
-            buf, new, (off, 0, 0)
-        )
-    )(cache.v[block_idx], v.astype(cache.v.dtype), offsets)
-    new_cache = KVCache(
-        k=cache.k.at[block_idx].set(k_cache),
-        v=cache.v.at[block_idx].set(v_cache),
-        lengths=cache.lengths,  # bumped once per step by the caller
-    )
+    new_cache = _insert_kv(block_idx, k, v, cache)
+    k_cache = new_cache.k[block_idx]
+    v_cache = new_cache.v[block_idx]
 
     max_seq = k_cache.shape[1]
     group = nh // nkv
@@ -657,6 +708,7 @@ def forward(
     tokens: jnp.ndarray,  # (B, S) int32
     cache: KVCache,
     dtype=jnp.bfloat16,
+    fresh_prefill: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder over ``tokens`` starting at ``cache.lengths``.
 
@@ -680,7 +732,8 @@ def forward(
             )
         else:
             attn_out, cache = _attention(
-                i, block.attn, h, positions, inv_freq, cache, cfg
+                i, block.attn, h, positions, inv_freq, cache, cfg,
+                fresh_prefill=fresh_prefill,
             )
         x = x + attn_out
         h = rms_norm(x, block.post_attention_layernorm, cfg.rms_norm_eps)

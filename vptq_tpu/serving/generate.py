@@ -79,9 +79,14 @@ class Generator:
         if not self.prompt_buckets:
             self.prompt_buckets = [max_seq]
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _prefill(model, tokens, cache):
-            return forward(model, tokens, cache, dtype=self.dtype)
+        @functools.partial(
+            jax.jit, donate_argnums=(2,), static_argnames=("fresh",)
+        )
+        def _prefill(model, tokens, cache, fresh=False):
+            return forward(
+                model, tokens, cache, dtype=self.dtype,
+                fresh_prefill=fresh,
+            )
 
         self._prefill = _prefill
 
@@ -124,7 +129,8 @@ class Generator:
             padded = np.zeros(bucket, dtype=np.int32)
             padded[:last_len] = chunk
             logits, cache = self._prefill(
-                self.model, jnp.asarray(padded)[None, :], cache
+                self.model, jnp.asarray(padded)[None, :], cache,
+                fresh=(done == 0),
             )
             done += last_len
             cache = cache.replace(
