@@ -170,3 +170,36 @@ def test_fused_model_matches_unfused(tmp_path):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(logits_f), rtol=1e-4, atol=1e-4
     )
+
+
+def test_quantize_lm_head(tmp_path):
+    from vptq_tpu.layers.runtime import Int8Linear
+    from vptq_tpu.models import load_model
+    from vptq_tpu.models.llama import forward, init_cache
+    from vptq_tpu.utils.synth_checkpoint import (
+        tiny_model_config,
+        write_synthetic_checkpoint,
+    )
+
+    write_synthetic_checkpoint(
+        tmp_path,
+        tiny_model_config(tie_word_embeddings=False),
+        vq_kwargs=dict(vector_len=4, num_centroids=64,
+                       num_res_centroids=16, is_indice_packed=True),
+        seed=131,
+    )
+    m1 = load_model(str(tmp_path), dtype=jnp.float32,
+                    runtime_format="bf16")
+    m2 = load_model(str(tmp_path), dtype=jnp.float32,
+                    runtime_format="bf16", quantize_lm_head=True)
+    assert isinstance(m2.lm_head, Int8Linear)
+
+    tokens = jnp.asarray([[4, 9, 2]], jnp.int32)
+    l1, _ = forward(m1, tokens, init_cache(m1.cfg, 1, 8, jnp.float32),
+                    dtype=jnp.float32)
+    l2, _ = forward(m2, tokens, init_cache(m2.cfg, 1, 8, jnp.float32),
+                    dtype=jnp.float32)
+    rel = np.max(np.abs(np.asarray(l1) - np.asarray(l2))) / (
+        np.max(np.abs(np.asarray(l1))) + 1e-9
+    )
+    assert rel < 0.02, rel

@@ -202,6 +202,48 @@ def to_int8(layer: VQLinear, group: Optional[int] = None) -> Int8Linear:
     )
 
 
+def dense_to_int8(
+    layer: DenseLinear, group: Optional[int] = None
+) -> Int8Linear:
+    """Re-encode an unquantized (bf16) linear — e.g. lm_head — to the
+    int8 runtime format (halves its decode HBM traffic)."""
+    import jax
+    import numpy as np
+
+    w = np.asarray(
+        jax.device_get(layer.weight), np.float32
+    )
+    group = group or pick_group(w.shape[1])
+    pad = (-w.shape[1]) % group
+    if pad:
+        w = np.pad(w, ((0, 0), (0, pad)))
+    out_f, in_p = w.shape
+
+    from vptq_tpu import native
+
+    got = (
+        native.int8_group_quant(np.ascontiguousarray(w), group)
+        if native.available()
+        else None
+    )
+    if got is not None:
+        q, scale = got
+    else:
+        g = w.reshape(out_f, in_p // group, group)
+        absmax = np.max(np.abs(g), axis=-1)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(
+            np.float32
+        )
+        q = np.clip(
+            np.round(g / scale[:, :, None]), -127, 127
+        ).astype(np.int8).reshape(out_f, in_p)
+    return Int8Linear(
+        wq=jnp.asarray(q.reshape(out_f, in_p)),
+        scales=jnp.asarray(np.ascontiguousarray(scale.T)),
+        bias=layer.bias,
+    )
+
+
 def to_bf16(layer: VQLinear) -> DenseLinear:
     w = _exact_weight(layer)
     return DenseLinear(

@@ -245,6 +245,7 @@ def load_model(
     dtype=jnp.bfloat16,
     runtime_format: str = "codebook",
     fuse: bool = True,
+    quantize_lm_head: bool = False,
 ) -> Model:
     """Load a VPTQ HF checkpoint directory into a :class:`Model`.
 
@@ -253,6 +254,9 @@ def load_model(
     once into the dense TPU runtime format (see
     vptq_tpu/layers/runtime.py). ``fuse`` merges q|k|v and gate|up
     projections into single matmuls (dense formats only).
+    ``quantize_lm_head`` additionally re-encodes the (normally dense
+    bf16) lm_head to int8 — ~0.3% logit noise for half its HBM
+    traffic per decode step.
     """
     root = Path(checkpoint_dir)
     if not root.exists():
@@ -446,6 +450,16 @@ def load_model(
         from vptq_tpu.layers.runtime import fuse_model
 
         model = fuse_model(model)
+    if quantize_lm_head and isinstance(model.lm_head, DenseLinear):
+        from vptq_tpu.layers.runtime import dense_to_int8
+
+        model = Model(
+            embed_tokens=model.embed_tokens,
+            blocks=model.blocks,
+            norm=model.norm,
+            lm_head=dense_to_int8(model.lm_head),
+            cfg=model.cfg,
+        )
     # single host->device upload of the final runtime representation
     # (ingestion above is all-numpy on purpose)
     import jax
