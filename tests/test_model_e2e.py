@@ -186,3 +186,24 @@ def test_long_prompt_chunked_prefill(ckpt):
     out_small = small.generate(prompt, max_new_tokens=6)
     out_big = big.generate(prompt, max_new_tokens=6)
     assert out_small == out_big
+
+
+def test_decode_fast_path_matches_full_attention(ckpt):
+    """The flash-decoding cache path (engaged at max_seq>=512) must
+    match the dense-mask path exactly."""
+    model = load_model(str(ckpt), dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(0, model.cfg.vocab_size, size=12,
+                          dtype=np.int64).tolist()
+
+    from vptq_tpu.serving.generate import Generator
+
+    # max_seq=512 -> decode steps use _decode_attend_blocks
+    fast = Generator(model, max_seq=512, dtype=jnp.float32,
+                     prompt_buckets=(16,))
+    # max_seq=64 -> dense-mask decode path
+    dense = Generator(model, max_seq=64, dtype=jnp.float32,
+                      prompt_buckets=(16,))
+    out_fast = fast.generate(prompt, max_new_tokens=8)
+    out_dense = dense.generate(prompt, max_new_tokens=8)
+    assert out_fast == out_dense

@@ -485,6 +485,79 @@ def _attention(
     return attn.o_proj(out.astype(x.dtype)), new_cache
 
 
+def _decode_attend_blocks(
+    q: jnp.ndarray,  # (B, 1, H, Dk)
+    k_cache: jnp.ndarray,  # (B, T, KV, Dk)
+    v_cache: jnp.ndarray,  # (B, T, KV, Dv)
+    offsets: jnp.ndarray,  # (B,) — new token already inserted at off
+    cfg: ModelConfig,
+    scale: float,
+    block: int = 256,
+) -> jnp.ndarray:
+    """Single-token attention reading only ceil(len/block) cache blocks.
+
+    Online-softmax accumulation over position blocks inside a
+    ``lax.while_loop`` whose trip count is data-dependent — HBM cache
+    traffic scales with the live sequence length, not the allocated
+    ``max_seq`` (flash-decoding structure, expressed in XLA).
+    """
+    batch, _, nh, dk = q.shape
+    max_seq = k_cache.shape[1]
+    nkv = k_cache.shape[2]
+    dv = v_cache.shape[3]
+    group = nh // nkv
+    qf = q[:, 0].astype(jnp.float32)  # (B, H, Dk)
+    n_blocks_live = (jnp.max(offsets) + block) // block  # offsets = len-1
+
+    def body(state):
+        i, m, s, acc = state
+        start = i * block
+        kb = jax.lax.dynamic_slice(
+            k_cache, (0, start, 0, 0), (batch, block, nkv, dk)
+        ).astype(jnp.float32)
+        vb = jax.lax.dynamic_slice(
+            v_cache, (0, start, 0, 0), (batch, block, nkv, dv)
+        ).astype(jnp.float32)
+        if group > 1:
+            kb = jnp.repeat(kb, group, axis=2)
+            vb = jnp.repeat(vb, group, axis=2)
+        # scores (B, H, block)
+        sc = jnp.einsum("bhd,bthd->bht", qf, kb) * jnp.float32(scale)
+        t_ids = start + jnp.arange(block)[None, None, :]
+        valid = t_ids <= offsets[:, None, None]
+        if cfg.sliding_window is not None:
+            valid = jnp.logical_and(
+                valid, t_ids > offsets[:, None, None] - cfg.sliding_window
+            )
+        sc = jnp.where(valid, sc, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(sc, axis=-1))
+        # guard fully-masked blocks (m_new can stay -inf)
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(sc - m_safe[..., None])
+        p = jnp.where(valid, p, 0.0)
+        corr = jnp.where(
+            jnp.isfinite(m), jnp.exp(m - m_safe), 0.0
+        )
+        s = s * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bht,bthd->bhd", p, vb
+        )
+        return i + 1, m_new, s, acc
+
+    def cond(state):
+        return state[0] < n_blocks_live
+
+    m0 = jnp.full((batch, nh), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((batch, nh), jnp.float32)
+    acc0 = jnp.zeros((batch, nh, dv), jnp.float32)
+    _, m, s, acc = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), m0, s0, acc0)
+    )
+    del max_seq
+    out = acc / (s[..., None] + 1e-30)
+    return out.reshape(batch, 1, nh * dv)
+
+
 def _insert_kv(
     block_idx: int, k: jnp.ndarray, v: jnp.ndarray, cache: KVCache
 ) -> KVCache:
@@ -529,6 +602,12 @@ def _cache_and_attend(
     v_cache = new_cache.v[block_idx]
 
     max_seq = k_cache.shape[1]
+    if seq == 1 and max_seq >= 512 and max_seq % 256 == 0:
+        # decode fast path: only read the live prefix of the cache
+        out = _decode_attend_blocks(
+            q, k_cache, v_cache, offsets, cfg, scale
+        )
+        return out, new_cache
     group = nh // nkv
     # (B, kv, group, S, D)
     qg = q.reshape(batch, seq, nkv, group, dk).transpose(0, 2, 3, 1, 4)
