@@ -102,6 +102,28 @@ def build_7b_int8(rng):
     )
 
 
+def ttft(model, prompt_len=512):
+    """p50 prefill latency (time-to-first-token core cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vptq_tpu.models.llama import forward, init_cache
+
+    prefill = jax.jit(
+        lambda m, t, c: forward(m, t, c, dtype=jnp.bfloat16)
+    )
+    tokens = jnp.ones((1, prompt_len), jnp.int32)
+    times = []
+    for i in range(4):
+        cache = init_cache(model.cfg, 1, prompt_len + 8, jnp.bfloat16)
+        t0 = time.time()
+        logits, cache = prefill(model, tokens, cache)
+        _ = int(np.asarray(logits[0, -1, :8]).argmax())  # sync
+        times.append(time.time() - t0)
+    times = sorted(times[1:])  # drop compile
+    return times[len(times) // 2]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -109,13 +131,29 @@ def main():
     from vptq_tpu.models.llama import init_cache
     from vptq_tpu.serving.generate import decode_loop
 
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    steps = int(args[0]) if args else 128
+    metric = "ttft" if "--ttft" in sys.argv else "decode"
     max_seq = max(256, steps + 8)
 
     rng = np.random.default_rng(0)
     t0 = time.time()
     model = build_7b_int8(rng)
     print(f"# model built in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if metric == "ttft":
+        t = ttft(model)
+        print(
+            json.dumps(
+                {
+                    "metric": "llama2_7b_prefill512_p50_s",
+                    "value": round(t, 4),
+                    "unit": "s",
+                    "vs_baseline": 0.0,  # reference publishes no TTFT
+                }
+            )
+        )
+        return
 
     cache = init_cache(model.cfg, 1, max_seq, jnp.bfloat16)
     first = jnp.asarray([1], jnp.int32)
