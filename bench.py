@@ -21,10 +21,14 @@ import numpy as np
 BASELINE_TOK_S = 39.9  # LLaMA-2 7B @ 2.02 bit, A100 (README.md:274)
 
 
-def build_7b_int8(rng):
+def build_7b_int8(rng, fmt="int8"):
     import jax.numpy as jnp
 
-    from vptq_tpu.layers.runtime import Int8Linear, pick_group
+    from vptq_tpu.layers.runtime import (
+        Int4Linear,
+        Int8Linear,
+        pick_group,
+    )
     from vptq_tpu.models.llama import Attention, Block, Mlp, Model, ModelConfig
 
     cfg = ModelConfig(
@@ -48,10 +52,22 @@ def build_7b_int8(rng):
 
     key_holder = [jax.random.PRNGKey(0)]
 
-    def lin(in_f, out_f):
+    def lin(in_f, out_f, f=None):
+        key_holder[0], k1, k2 = jax.random.split(key_holder[0], 3)
+        if (f or fmt) == "int4":
+            in_p = in_f + ((-in_f) % 2048)
+            wq = jax.random.randint(
+                k1, (out_f, in_p // 2), -128, 128, dtype=jnp.int8
+            )
+            scales = 0.005 * (
+                1
+                + jax.random.uniform(
+                    k2, (in_p // 128, out_f), jnp.bfloat16
+                )
+            )
+            return Int4Linear(wq=wq, scales=scales, bias=None)
         g = pick_group(in_f)
         in_p = in_f + ((-in_f) % g)
-        key_holder[0], k1, k2 = jax.random.split(key_holder[0], 3)
         wq = jax.random.randint(
             k1, (out_f, in_p), -127, 128, dtype=jnp.int8
         )
@@ -82,17 +98,14 @@ def build_7b_int8(rng):
                 ),
             )
         )
-    key_holder[0], k1, k2 = jax.random.split(key_holder[0], 3)
+    key_holder[0], k1 = jax.random.split(key_holder[0])
     embed = 0.01 * jax.random.normal(
         k1, (cfg.vocab_size, h), jnp.bfloat16
     )
-    from vptq_tpu.layers.dense import DenseLinear
-
-    lm_head = DenseLinear(
-        weight=0.01 * jax.random.normal(
-            k2, (cfg.vocab_size, h), jnp.bfloat16
-        )
-    )
+    # lm_head in int8 — the loader's quantize_lm_head=True serving
+    # config (~0.3% logit noise, half the decode HBM traffic);
+    # int8 also under --int4 (logit fidelity matters most there)
+    lm_head = lin(h, cfg.vocab_size, f="int8")
     return Model(
         embed_tokens=embed,
         blocks=tuple(blocks),
@@ -134,11 +147,12 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     steps = int(args[0]) if args else 128
     metric = "ttft" if "--ttft" in sys.argv else "decode"
+    fmt = "int4" if "--int4" in sys.argv else "int8"
     max_seq = max(256, steps + 8)
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    model = build_7b_int8(rng)
+    model = build_7b_int8(rng, fmt=fmt)
     print(f"# model built in {time.time()-t0:.1f}s", file=sys.stderr)
 
     if metric == "ttft":
@@ -184,7 +198,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "llama2_7b_decode_tok_s_1chip",
+                "metric": "llama2_7b_decode_tok_s_1chip"
+                + ("_int4" if fmt == "int4" else ""),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),

@@ -29,14 +29,32 @@ from vptq_tpu.layers.dense import DenseLinear
 from vptq_tpu.layers.vqlinear import VQLinear
 from vptq_tpu.ops.dequant import dequant_weight
 
-__all__ = ["Int8Linear", "to_runtime", "RUNTIME_FORMATS"]
+__all__ = ["Int8Linear", "Int4Linear", "to_runtime", "RUNTIME_FORMATS"]
 
-RUNTIME_FORMATS = ("int8", "bf16", "codebook")
+RUNTIME_FORMATS = ("int8", "int4", "bf16", "codebook")
 
-# Scale-group width along in_features == the w8 kernel's in_tile, so
-# scales apply on the accumulator (output side). Chosen per layer:
-# the largest tile whose zero-padding waste stays small.
+# Scale-group width along in_features; the w8 kernel's in_tile must
+# divide it (scales apply on the accumulator). Chosen per layer: the
+# largest tile whose zero-padding waste stays small.
 GROUP_CANDIDATES = (2048, 1024, 512)
+
+
+def pick_tiles(out_f: int, in_p: int, group: int):
+    """(out_tile, in_tile) for the fused dequant matmul.
+
+    From a v5e sweep over 7B decode shapes (examples/autotune_w8.py):
+    in_tile 2048 and out_tile 512-1024 sit on a ~700-810 GB/s plateau
+    (85-99% of HBM); small tiles fall to ~300-450 GB/s. The heuristic:
+    the largest in_tile dividing the scale group, out_tile 1024
+    (bounded by out_f rounded up — partial boundary blocks are free).
+    """
+    in_tile = group
+    for cand in (2048, 1024, 512):
+        if cand <= group and group % cand == 0 and in_p % cand == 0:
+            in_tile = cand
+            break
+    out_tile = 1024 if out_f >= 1024 else (512 if out_f >= 512 else 256)
+    return out_tile, in_tile
 
 
 def pick_group(in_features: int, max_waste: float = 0.03) -> int:
@@ -74,9 +92,11 @@ class Int8Linear:
             x = jnp.pad(x, pad)
 
         if use_pallas():
+            ot, it = pick_tiles(
+                self.wq.shape[0], in_padded, self.group
+            )
             out = w8_matmul(
-                x, self.wq, self.scales,
-                out_tile=512, in_tile=self.group,
+                x, self.wq, self.scales, out_tile=ot, in_tile=it,
             )
         else:
             w = (
@@ -98,7 +118,75 @@ class Int8Linear:
         return self.wq.shape[0]
 
 
-RuntimeLinear = Union[VQLinear, DenseLinear, Int8Linear]
+@struct.dataclass
+class Int4Linear:
+    """Packed int4 weights + per-(row, 128-in-column) bf16 scales.
+
+    The throughput format: halves the decode HBM traffic of ``int8`` at
+    ~12% weight-RMS re-encode error (standard int4-RTN fidelity; the
+    quality/speed trade is the user's via ``runtime_format="int4"``).
+    Nibble layout contract: :func:`vptq_tpu.ops.packing.pack_int4`.
+    """
+
+    wq: jnp.ndarray  # (out, in_padded // 2) int8 — packed nibbles
+    scales: jnp.ndarray  # (in_padded // 128, out) bf16 (transposed —
+    # the kernel slices scale rows per in-step; see w4_matmul)
+    bias: Optional[jnp.ndarray] = None
+
+    @property
+    def in_padded(self) -> int:
+        return self.wq.shape[1] * 2
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from vptq_tpu.ops.pallas_gemm import w4_matmul
+        from vptq_tpu.ops.quant_matmul import use_pallas
+
+        in_padded = self.in_padded
+        if x.shape[-1] != in_padded:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, in_padded - x.shape[-1])]
+            x = jnp.pad(x, pad)
+
+        if use_pallas():
+            # in_tile 2048 always: the Mosaic lowering needs the
+            # per-step scale-row offset (j * in_tile/256) provably
+            # divisible by 8 — _encode_int4 pads in_features to 2048
+            ot = (
+                1024 if self.wq.shape[0] >= 1024
+                else (512 if self.wq.shape[0] >= 512 else 256)
+            )
+            out = w4_matmul(
+                x, self.wq, self.scales,
+                out_tile=ot, in_tile=2048,
+            )
+        else:
+            q = _unpack_int4_jnp(self.wq)
+            w = (
+                q.astype(jnp.float32).reshape(
+                    self.wq.shape[0], -1, 128
+                )
+                * self.scales.astype(jnp.float32).T[:, :, None]
+            ).reshape(self.wq.shape[0], in_padded)
+            out = jnp.dot(
+                x.astype(jnp.float32), w.T,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        if self.bias is not None:
+            out = out + self.bias.astype(out.dtype)
+        return out
+
+    @property
+    def out_features(self) -> int:
+        return self.wq.shape[0]
+
+
+def _unpack_int4_jnp(packed: jnp.ndarray) -> jnp.ndarray:
+    """jnp mirror of packing.unpack_int4 (non-pallas fallback path)."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+RuntimeLinear = Union[VQLinear, DenseLinear, Int8Linear, Int4Linear]
 
 
 def _exact_weight(layer: VQLinear, dtype=jnp.float32) -> "np.ndarray":
@@ -244,6 +332,39 @@ def dense_to_int8(
     )
 
 
+def _encode_int4(w, bias) -> Int4Linear:
+    """f32 (out, in) numpy weight → packed Int4Linear (pads in to 512)."""
+    import numpy as np
+
+    from vptq_tpu.ops.packing import pack_int4, quantize_int4
+
+    # pad in_features to the kernel in_tile (2048) — see Int4Linear
+    pad = (-w.shape[1]) % 2048
+    if pad:
+        w = np.pad(w, ((0, 0), (0, pad)))
+    q, scale = quantize_int4(w)
+    return Int4Linear(
+        wq=jnp.asarray(pack_int4(q)),
+        scales=jnp.asarray(
+            np.ascontiguousarray(scale.T), jnp.bfloat16
+        ),
+        bias=bias,
+    )
+
+
+def to_int4(layer: VQLinear) -> Int4Linear:
+    """Exact dequant → symmetric per-(row, 128-col) int4 re-encode."""
+    return _encode_int4(_exact_weight(layer), layer.bias)
+
+
+def dense_to_int4(layer: DenseLinear) -> Int4Linear:
+    import jax
+    import numpy as np
+
+    w = np.asarray(jax.device_get(layer.weight), np.float32)
+    return _encode_int4(w, layer.bias)
+
+
 def to_bf16(layer: VQLinear) -> DenseLinear:
     w = _exact_weight(layer)
     return DenseLinear(
@@ -261,6 +382,8 @@ def to_runtime(layer, fmt: str):
         return layer
     if fmt == "int8":
         return to_int8(layer)
+    if fmt == "int4":
+        return to_int4(layer)
     return to_bf16(layer)
 
 
@@ -300,6 +423,26 @@ def fuse_linears(linears):
             scales=jnp.concatenate(
                 [m.scales for m in linears], axis=1
             ),
+            bias=bias,
+        )
+    if isinstance(first, Int4Linear):
+        if any(m.wq.shape[1] != first.wq.shape[1] for m in linears):
+            return None
+        biases = [m.bias for m in linears]
+        if any(b is not None for b in biases):
+            bias = jnp.concatenate(
+                [
+                    b
+                    if b is not None
+                    else jnp.zeros(m.out_features, jnp.float32)
+                    for b, m in zip(biases, linears)
+                ]
+            )
+        else:
+            bias = None
+        return Int4Linear(
+            wq=jnp.concatenate([m.wq for m in linears], axis=0),
+            scales=jnp.concatenate([m.scales for m in linears], axis=1),
             bias=bias,
         )
     if isinstance(first, DenseLinear):

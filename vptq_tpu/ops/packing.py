@@ -25,6 +25,9 @@ __all__ = [
     "unpack_index",
     "view_as_uint16",
     "index_plane_dtype",
+    "quantize_int4",
+    "pack_int4",
+    "unpack_int4",
 ]
 
 
@@ -138,3 +141,62 @@ def unpack_index(
         res = ((merged >> np.uint64(index_bits)) &
                np.uint64((1 << res_bits) - 1)).astype(np.int64)
     return main, res
+
+
+# --------------------------------------------------------------------
+# int4 runtime re-encode (TPU-native dense format; no reference
+# counterpart — the reference always dequantizes to fp16)
+# --------------------------------------------------------------------
+
+INT4_GROUP = 128  # scale-group width along in_features
+
+
+def quantize_int4(
+    w: np.ndarray, group: int = INT4_GROUP
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-(row, group) int4 RTN quantization.
+
+    Returns (q int8 in [-7, 7] of w.shape, scales bf16-rounded f32 of
+    shape (out, in // group)). Quantization uses the bf16-rounded scale
+    so dequant with the stored scale is exact round-trip.
+    """
+    out_f, in_f = w.shape
+    if in_f % group:
+        raise ValueError(f"in_features {in_f} % group {group} != 0")
+    g = w.reshape(out_f, in_f // group, group)
+    absmax = np.abs(g).max(axis=-1)
+    scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    # round scale through bf16 (the storage dtype) before quantizing
+    scale = (
+        scale.view(np.uint32) & np.uint32(0xFFFF0000)
+    ).view(np.float32)
+    q = np.clip(np.round(g / scale[:, :, None]), -7, 7).astype(np.int8)
+    return q.reshape(out_f, in_f), scale
+
+
+def pack_int4(q: np.ndarray) -> np.ndarray:
+    """Pack int4 values into the w4_matmul nibble layout.
+
+    Byte ``packed[o, k]`` holds natural column ``k`` in its low nibble
+    and column ``in/2 + k`` in its high nibble (both sign-extended on
+    unpack) — the layout :func:`vptq_tpu.ops.pallas_gemm.w4_matmul`
+    consumes with two shifts and no lane shuffles.
+    """
+    out_f, in_f = q.shape
+    if in_f % 2:
+        raise ValueError("in_features must be even")
+    half = in_f // 2
+    lo = q[:, :half].astype(np.uint8) & np.uint8(0xF)
+    hi = q[:, half:].astype(np.uint8) & np.uint8(0xF)
+    return ((hi << np.uint8(4)) | lo).view(np.int8)
+
+
+def unpack_int4(packed: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_int4` (host-side oracle)."""
+    b = packed.view(np.uint8)
+    lo = (b & np.uint8(0xF)).astype(np.int8)
+    hi = (b >> np.uint8(4)).astype(np.int8)
+    # sign-extend 4-bit values
+    lo = np.where(lo >= 8, lo - 16, lo).astype(np.int8)
+    hi = np.where(hi >= 8, hi - 16, hi).astype(np.int8)
+    return np.concatenate([lo, hi], axis=1)

@@ -35,7 +35,7 @@ def _interpret() -> bool:
     # the test-suite to validate kernel semantics off-TPU.
     return os.environ.get("VPTQ_TPU_PALLAS_INTERPRET", "0") == "1"
 
-__all__ = ["w8_matmul", "bf16_matmul"]
+__all__ = ["w8_matmul", "w4_matmul", "bf16_matmul"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -46,12 +46,16 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
-def _w8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_in_tiles: int):
+def _w8_kernel(
+    x_ref, w_ref, s_ref, o_ref, acc_ref,
+    *, n_in_tiles: int, tiles_per_group: int,
+):
     """One (out_tile, in_tile) grid step.
 
     x_ref: (T, I_T) bf16; w_ref: (O_T, I_T) int8;
-    s_ref: (n_groups, O_T) f32 — per-(in-group, row) scales, group == I_T
-    (all groups resident; row j selected per grid step);
+    s_ref: (n_groups, O_T) f32 — per-(in-group, row) scales; the scale
+    group is ``tiles_per_group * I_T`` input columns (all groups
+    resident; the row for step j is ``j // tiles_per_group``);
     o_ref: (T, O_T) out dtype; acc_ref: (T, O_T) f32 scratch.
     """
     j = pl.program_id(1)
@@ -63,7 +67,7 @@ def _w8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_in_tiles: int):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    part = part * s_ref[j, :][None, :]
+    part = part * s_ref[j // tiles_per_group, :][None, :]
 
     @pl.when(j == 0)
     def _():
@@ -93,13 +97,20 @@ def w8_matmul(
     """Compute ``x @ (scales ⊙ wq)^T`` with tile-fused dequant.
 
     ``scales[g, o]`` scales weight rows ``o`` for input columns in
-    group ``g`` (``group == in_tile``).
+    group ``g``; the scale group must be a multiple of ``in_tile``.
     """
     out_features, in_features = wq.shape
     if in_features % in_tile:
         raise ValueError(f"in_features {in_features} % {in_tile} != 0")
-    if scales.shape != (in_features // in_tile, out_features):
+    n_groups = scales.shape[0]
+    if scales.shape[1] != out_features or in_features % n_groups:
         raise ValueError(f"scales shape {scales.shape} mismatch")
+    group = in_features // n_groups
+    if group % in_tile:
+        raise ValueError(
+            f"scale group {group} must be a multiple of in_tile {in_tile}"
+        )
+    tiles_per_group = group // in_tile
 
     lead_shape = x.shape[:-1]
     tokens = 1
@@ -112,17 +123,21 @@ def w8_matmul(
     if t_pad != tokens:
         x2 = jnp.pad(x2, ((0, t_pad - tokens), (0, 0)))
 
+    # out_features need NOT be a multiple of out_tile: the out dim is
+    # purely parallel, so Pallas's partial-boundary blocks only affect
+    # output rows that are sliced off below. (Padding the weight here
+    # instead would re-copy the whole weight matrix through HBM on
+    # every call — measured 3x throughput loss on lm_head shapes.)
     o_pad = _round_up(out_features, out_tile)
-    if o_pad != out_features:
-        wq = jnp.pad(wq, ((0, o_pad - out_features), (0, 0)))
-        scales = jnp.pad(scales, ((0, 0), (0, o_pad - out_features)))
 
     n_out = o_pad // out_tile
     n_in = in_features // in_tile
     out_dtype = out_dtype or x.dtype
 
     out = pl.pallas_call(
-        functools.partial(_w8_kernel, n_in_tiles=n_in),
+        functools.partial(
+            _w8_kernel, n_in_tiles=n_in, tiles_per_group=tiles_per_group
+        ),
         grid=(n_out, n_in),
         in_specs=[
             pl.BlockSpec(
@@ -134,7 +149,7 @@ def w8_matmul(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_in, out_tile), lambda i, j: (0, i),
+                (n_groups, out_tile), lambda i, j: (0, i),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -142,20 +157,186 @@ def w8_matmul(
             (t_pad, out_tile), lambda i, j: (0, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((t_pad, o_pad), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, out_features), out_dtype),
         scratch_shapes=[pltpu.VMEM((t_pad, out_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * o_pad * in_features,
-            bytes_accessed=o_pad * in_features
+            bytes_accessed=out_features * in_features
             + t_pad * in_features * 2
-            + t_pad * o_pad * 2,
+            + t_pad * out_features * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(x2.astype(jnp.bfloat16), wq, scales)
+
+    out = out[:tokens, :out_features]
+    return out.reshape(*lead_shape, out_features).astype(out_dtype)
+
+
+W4_GROUP = 128  # int4 scale-group width along in_features
+
+
+def _w4_kernel(
+    xl_ref, xh_ref, w_ref, s_ref, o_ref, acc_ref,
+    *, n_in_tiles: int, s_half: int,
+):
+    """One int4 (out_tile, in_tile) grid step.
+
+    Nibble layout (set by pack_int4): byte ``w[o, k]`` holds natural
+    column ``k`` in its low nibble and column ``in_p/2 + k`` in its
+    high nibble, so unpacking is two shifts — no lane shuffles. The
+    two half-tiles contract against two x slices (xl/xh) fetched from
+    opposite halves of the input. Per-(row, 128-col-subgroup) scales
+    are applied on the partial accumulator of per-subgroup K=128
+    sub-dots (scale lane dims are too narrow for VMEM blocking, so the
+    full transposed scale array rides along and rows are sliced here).
+
+    xl/xh: (T, I_T/2) bf16; w_ref: (O_T, I_T/2) int8 (packed);
+    s_ref: (S, O_T) bf16, S = in_p/128 (full, sliced per step);
+    o_ref: (T, O_T); acc_ref: (T, O_T) f32.
+    """
+    j = pl.program_id(1)
+
+    # nibble extraction in i32 — Mosaic has no i8 vector shifts
+    w = w_ref[:].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w, 28), 28)  # sign-ext low
+    hi = jnp.right_shift(w, 4)  # arithmetic: sign-extended high
+
+    n_scale_rows = s_ref.shape[0]
+    sl = s_ref[pl.ds(j * s_half, s_half), :]  # (s_half, O_T)
+    sh = s_ref[pl.ds(n_scale_rows // 2 + j * s_half, s_half), :]
+
+    dims = (((1,), (1,)), ((), ()))
+    part = jnp.zeros(acc_ref.shape, jnp.float32)
+    for sub in range(s_half):
+        c0, c1 = sub * W4_GROUP, (sub + 1) * W4_GROUP
+        pl_ = jax.lax.dot_general(
+            xl_ref[:, c0:c1], lo[:, c0:c1].astype(jnp.bfloat16),
+            dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        ph_ = jax.lax.dot_general(
+            xh_ref[:, c0:c1], hi[:, c0:c1].astype(jnp.bfloat16),
+            dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        part = part + pl_ * sl[sub, :].astype(jnp.float32)[None, :]
+        part = part + ph_ * sh[sub, :].astype(jnp.float32)[None, :]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(j == n_in_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_tile", "in_tile", "out_dtype")
+)
+def w4_matmul(
+    x: jnp.ndarray,  # (..., IN) bf16/f32, IN == in_p (padded)
+    wq: jnp.ndarray,  # (OUT, IN // 2) int8 — packed nibbles
+    scales: jnp.ndarray,  # (IN // 128, OUT) bf16 (transposed layout)
+    *,
+    out_tile: int = 512,
+    in_tile: int = 2048,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Fused int4 dequant-matmul: ``x @ (scalesᵀ ⊙ unpack(wq))^T``.
+
+    Weight layout contract is :func:`vptq_tpu.ops.packing.pack_int4`.
+    ``in_tile`` counts natural (unpacked) input columns and must divide
+    ``IN``; the packed tile streamed per grid step is ``in_tile/2``
+    bytes wide.
+    """
+    out_features = wq.shape[0]
+    in_features = wq.shape[1] * 2
+    if x.shape[-1] != in_features:
+        raise ValueError(
+            f"x last dim {x.shape[-1]} != padded in_features {in_features}"
+        )
+    if in_features % in_tile:
+        raise ValueError(
+            f"in_features {in_features} % in_tile {in_tile} != 0"
+        )
+    if in_tile % (2 * W4_GROUP):
+        raise ValueError(f"in_tile {in_tile} % {2*W4_GROUP} != 0")
+    if scales.shape != (in_features // W4_GROUP, out_features):
+        raise ValueError(f"scales shape {scales.shape} mismatch")
+
+    lead_shape = x.shape[:-1]
+    tokens = 1
+    for d in lead_shape:
+        tokens *= d
+    x2 = x.reshape(tokens, in_features)
+    t_pad = _round_up(max(tokens, 1), 16)
+    if t_pad != tokens:
+        x2 = jnp.pad(x2, ((0, t_pad - tokens), (0, 0)))
+
+    o_pad = _round_up(out_features, out_tile)
+    n_out = o_pad // out_tile
+    n_in = in_features // in_tile
+    half = in_tile // 2
+    s_half = half // W4_GROUP
+    out_dtype = out_dtype or x.dtype
+
+    n_scale_rows = in_features // W4_GROUP
+    out = pl.pallas_call(
+        functools.partial(
+            _w4_kernel, n_in_tiles=n_in, s_half=s_half
+        ),
+        grid=(n_out, n_in),
+        in_specs=[
+            pl.BlockSpec(  # x low half
+                (t_pad, half), lambda i, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # x high half
+                (t_pad, half), lambda i, j: (0, j + n_in),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # packed weights
+                (out_tile, half), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # scales: all S rows for this out tile
+                (n_scale_rows, out_tile), lambda i, j: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (t_pad, out_tile), lambda i, j: (0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_pad, out_features), out_dtype),
+        scratch_shapes=[pltpu.VMEM((t_pad, out_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * o_pad * in_features,
+            bytes_accessed=out_features * in_features // 2
+            + out_features * (in_features // W4_GROUP) * 2
+            + t_pad * in_features * 2
+            + t_pad * out_features * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        x2.astype(jnp.bfloat16),
+        x2.astype(jnp.bfloat16),
+        wq,
+        scales.astype(jnp.bfloat16),
+    )
 
     out = out[:tokens, :out_features]
     return out.reshape(*lead_shape, out_features).astype(out_dtype)
@@ -207,10 +388,8 @@ def bf16_matmul(
     t_pad = _round_up(max(tokens, 1), 16)
     if t_pad != tokens:
         x2 = jnp.pad(x2, ((0, t_pad - tokens), (0, 0)))
+    # out dim is parallel — no weight pad needed (see w8_matmul)
     o_pad = _round_up(out_features, out_tile)
-    if o_pad != out_features:
-        w = jnp.pad(w, ((0, o_pad - out_features), (0, 0)))
-
     n_out = o_pad // out_tile
     n_in = in_features // in_tile
     out_dtype = out_dtype or x.dtype
@@ -232,7 +411,7 @@ def bf16_matmul(
             (t_pad, out_tile), lambda i, j: (0, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((t_pad, o_pad), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, out_features), out_dtype),
         scratch_shapes=[pltpu.VMEM((t_pad, out_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

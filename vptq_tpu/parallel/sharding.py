@@ -112,7 +112,7 @@ def _shard_linear(layer, mesh: Mesh, col_parallel: bool):
     if isinstance(layer, VQLinear):
         return _shard_vq(layer, mesh, col_parallel)
 
-    from vptq_tpu.layers.runtime import Int8Linear
+    from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
 
     if isinstance(layer, Int8Linear):
         if col_parallel:
@@ -124,6 +124,22 @@ def _shard_linear(layer, mesh: Mesh, col_parallel: bool):
                 P(None, "model"), P("model", None), P(),
             )
         return Int8Linear(
+            wq=_put(layer.wq, mesh, wq_spec),
+            scales=_put(layer.scales, mesh, s_spec),
+            bias=_put(layer.bias, mesh, bias_spec),
+        )
+
+    if isinstance(layer, Int4Linear):
+        # wq is (out, in/2); scales are transposed (in/128, out)
+        if col_parallel:
+            wq_spec, s_spec, bias_spec = (
+                P("model", None), P(None, "model"), P("model"),
+            )
+        else:
+            wq_spec, s_spec, bias_spec = (
+                P(None, "model"), P("model", None), P(),
+            )
+        return Int4Linear(
             wq=_put(layer.wq, mesh, wq_spec),
             scales=_put(layer.scales, mesh, s_spec),
             bias=_put(layer.bias, mesh, bias_spec),

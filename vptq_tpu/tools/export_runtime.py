@@ -35,7 +35,7 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
     import jax
 
     from vptq_tpu.layers.dense import DenseLinear
-    from vptq_tpu.layers.runtime import Int8Linear
+    from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
 
     out: Dict[str, np.ndarray] = {}
 
@@ -52,13 +52,17 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
             put(f"{prefix}.wq", lin.wq)
             put(f"{prefix}.scales", lin.scales)
             put(f"{prefix}.bias", lin.bias)
+        elif isinstance(lin, Int4Linear):
+            put(f"{prefix}.wq4", lin.wq)
+            put(f"{prefix}.scales4", lin.scales)
+            put(f"{prefix}.bias", lin.bias)
         elif isinstance(lin, DenseLinear):
             put(f"{prefix}.weight", lin.weight)
             put(f"{prefix}.bias", lin.bias)
         else:
             raise ValueError(
                 f"{prefix}: cannot export {type(lin).__name__}; "
-                "use runtime_format int8/bf16"
+                "use runtime_format int8/int4/bf16"
             )
 
     from vptq_tpu.models.llama import DeepseekMoe, MoeMlp
@@ -151,7 +155,7 @@ def load_runtime_model(runtime_dir: str):
     import ml_dtypes
 
     from vptq_tpu.layers.dense import DenseLinear
-    from vptq_tpu.layers.runtime import Int8Linear
+    from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
     from vptq_tpu.models.llama import (
         Attention,
         Block,
@@ -188,6 +192,12 @@ def load_runtime_model(runtime_dir: str):
             return Int8Linear(
                 wq=state[f"{prefix}.wq"],
                 scales=state[f"{prefix}.scales"],
+                bias=state.get(f"{prefix}.bias"),
+            )
+        if f"{prefix}.wq4" in state:
+            return Int4Linear(
+                wq=state[f"{prefix}.wq4"],
+                scales=state[f"{prefix}.scales4"],
                 bias=state.get(f"{prefix}.bias"),
             )
         if f"{prefix}.weight" in state:
