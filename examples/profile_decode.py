@@ -117,7 +117,7 @@ def main():
     times = []
     for _ in range(3):
         cache = init_cache(cfg, 1, 256, jnp.bfloat16)
-        _sync(cache.k)
+        _sync(cache.k[0])
         t0 = time.perf_counter()
         toks, cache = decode_loop(
             model, first, cache, key, temp, steps=steps

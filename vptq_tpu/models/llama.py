@@ -375,12 +375,18 @@ class Model:
 class KVCache:
     """Functional KV cache: preallocated, updated with dynamic slices.
 
+    ``k``/``v`` are per-layer tuples (NOT one stacked array): a decode
+    step updates one layer at a time, and with a stacked layout every
+    ``cache.at[layer].set`` lowers to a gather + full-layer copy +
+    scatter inside the scan — measured ~1.1 ms/step of pure cache
+    shuffling at 7B. Per-layer buffers update in place.
+
     ``lengths`` is per-sequence — slots in a serving batch advance
     independently (continuous batching, vptq_tpu/serving/scheduler.py).
     """
 
-    k: jnp.ndarray  # (layers, B, max_seq, kv_heads, head_dim)
-    v: jnp.ndarray
+    k: Tuple[jnp.ndarray, ...]  # per layer: (B, max_seq, kv_heads, hd)
+    v: Tuple[jnp.ndarray, ...]
     lengths: jnp.ndarray  # (B,) int32 — tokens cached per sequence
 
 
@@ -391,10 +397,16 @@ def init_cache(
         cfg.num_attention_heads if cfg.is_mla
         else cfg.num_key_value_heads
     )
-    base = (cfg.num_hidden_layers, batch, max_seq, kv_heads)
+    base = (batch, max_seq, kv_heads)
     return KVCache(
-        k=jnp.zeros(base + (cfg.cache_k_dim,), dtype),
-        v=jnp.zeros(base + (cfg.cache_v_dim,), dtype),
+        k=tuple(
+            jnp.zeros(base + (cfg.cache_k_dim,), dtype)
+            for _ in range(cfg.num_hidden_layers)
+        ),
+        v=tuple(
+            jnp.zeros(base + (cfg.cache_v_dim,), dtype)
+            for _ in range(cfg.num_hidden_layers)
+        ),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
 
@@ -561,22 +573,29 @@ def _decode_attend_blocks(
 def _insert_kv(
     block_idx: int, k: jnp.ndarray, v: jnp.ndarray, cache: KVCache
 ) -> KVCache:
-    offsets = cache.lengths
-    k_cache = jax.vmap(
-        lambda buf, new, off: jax.lax.dynamic_update_slice(
-            buf, new, (off, 0, 0)
+    """Write new K/V rows at each sequence's offset, in place.
+
+    Per-batch-row dynamic_update_slice directly on the layer's buffer
+    (a pytree element) — XLA aliases the buffer through the scan carry,
+    so no layer copies (batch is small and static; a vmap'd update here
+    lowers to gather/scatter copies instead).
+    """
+    k_cache = cache.k[block_idx]
+    v_cache = cache.v[block_idx]
+    batch = k.shape[0]
+    k = k.astype(k_cache.dtype)
+    v = v.astype(v_cache.dtype)
+    for b in range(batch):
+        off = cache.lengths[b]
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k[b: b + 1], (b, off, 0, 0)
         )
-    )(cache.k[block_idx], k.astype(cache.k.dtype), offsets)
-    v_cache = jax.vmap(
-        lambda buf, new, off: jax.lax.dynamic_update_slice(
-            buf, new, (off, 0, 0)
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v[b: b + 1], (b, off, 0, 0)
         )
-    )(cache.v[block_idx], v.astype(cache.v.dtype), offsets)
-    return KVCache(
-        k=cache.k.at[block_idx].set(k_cache),
-        v=cache.v.at[block_idx].set(v_cache),
-        lengths=cache.lengths,
-    )
+    new_k = cache.k[:block_idx] + (k_cache,) + cache.k[block_idx + 1:]
+    new_v = cache.v[:block_idx] + (v_cache,) + cache.v[block_idx + 1:]
+    return KVCache(k=new_k, v=new_v, lengths=cache.lengths)
 
 
 def _cache_and_attend(

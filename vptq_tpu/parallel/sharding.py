@@ -215,11 +215,11 @@ def shard_model(model: Model, mesh: Mesh) -> Model:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    """KV cache: batch over "data", heads over "model"."""
-    kv_spec = P(None, "data", None, "model", None)
+    """KV cache: batch over "data", heads over "model" (per layer)."""
+    kv_spec = P("data", None, "model", None)
     return KVCache(
-        k=_put(cache.k, mesh, kv_spec),
-        v=_put(cache.v, mesh, kv_spec),
+        k=tuple(_put(b, mesh, kv_spec) for b in cache.k),
+        v=tuple(_put(b, mesh, kv_spec) for b in cache.v),
         lengths=_put(cache.lengths, mesh, P()),
     )
 

@@ -71,10 +71,12 @@ class Generator:
         max_seq: int = 2048,
         dtype=jnp.bfloat16,
         prompt_buckets: Sequence[int] = (128, 512, 2048),
+        prefix_cache=None,  # serving.prefix_cache.PrefixCache
     ):
         self.model = model
         self.max_seq = max_seq
         self.dtype = dtype
+        self.prefix_cache = prefix_cache
         self.prompt_buckets = [b for b in prompt_buckets if b <= max_seq]
         if not self.prompt_buckets:
             self.prompt_buckets = [max_seq]
@@ -89,6 +91,28 @@ class Generator:
             )
 
         self._prefill = _prefill
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _write_prefix(cache, k, v, n):
+            # k/v arrive stacked (layers, 1, n, kv, hd) from the
+            # prefix store; the cache is per-layer tuples
+            return KVCache(
+                k=tuple(
+                    jax.lax.dynamic_update_slice(
+                        buf, k[i].astype(buf.dtype), (0, 0, 0, 0)
+                    )
+                    for i, buf in enumerate(cache.k)
+                ),
+                v=tuple(
+                    jax.lax.dynamic_update_slice(
+                        buf, v[i].astype(buf.dtype), (0, 0, 0, 0)
+                    )
+                    for i, buf in enumerate(cache.v)
+                ),
+                lengths=jnp.full_like(cache.lengths, n),
+            )
+
+        self._write_prefix = _write_prefix
 
     def generate(
         self,
@@ -122,6 +146,13 @@ class Generator:
         logits = None
         done = 0
         last_len = 0
+        if self.prefix_cache is not None:
+            done = self.prefix_cache.match(prompt)
+            if done:
+                k, v = self.prefix_cache.gather(prompt, done)
+                cache = self._write_prefix(
+                    cache, k, v, jnp.asarray(done, jnp.int32)
+                )
         while done < plen:
             chunk = prompt[done: done + max_bucket]
             last_len = len(chunk)
@@ -137,6 +168,13 @@ class Generator:
                 lengths=jnp.full((1,), done, jnp.int32)
             )
         last_logits = logits[:, last_len - 1]
+        if self.prefix_cache is not None:
+            self.prefix_cache.insert(
+                prompt,
+                jnp.stack([b[:, :plen] for b in cache.k]),
+                jnp.stack([b[:, :plen] for b in cache.v]),
+                plen,
+            )
 
         first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
         if temperature > 0:

@@ -106,12 +106,14 @@ class Scheduler:
         dtype=jnp.bfloat16,
         chunk: int = 16,
         prompt_buckets: Sequence[int] = (64, 256, 1024),
+        prefix_cache=None,  # serving.prefix_cache.PrefixCache
     ):
         self.model = model
         self.max_batch = max_batch
         self.max_seq = max_seq
         self.dtype = dtype
         self.chunk = chunk
+        self.prefix_cache = prefix_cache
         self.prompt_buckets = [b for b in prompt_buckets if b <= max_seq]
         if not self.prompt_buckets:
             self.prompt_buckets = [max_seq]
@@ -141,13 +143,19 @@ class Scheduler:
 
         @jax.jit
         def _insert_slot(cache, k1, v1, slot, plen):
-            # write the (layers, 1, S, kv, hd) prefilled rows into the
+            # write the prefilled batch-1 per-layer rows into the
             # shared cache at `slot`, reset that slot's length
-            k = jax.lax.dynamic_update_slice(
-                cache.k, k1, (0, slot, 0, 0, 0)
+            k = tuple(
+                jax.lax.dynamic_update_slice(
+                    buf, new, (slot, 0, 0, 0)
+                )
+                for buf, new in zip(cache.k, k1)
             )
-            v = jax.lax.dynamic_update_slice(
-                cache.v, v1, (0, slot, 0, 0, 0)
+            v = tuple(
+                jax.lax.dynamic_update_slice(
+                    buf, new, (slot, 0, 0, 0)
+                )
+                for buf, new in zip(cache.v, v1)
             )
             lengths = cache.lengths.at[slot].set(plen)
             return KVCache(k=k, v=v, lengths=lengths)
@@ -199,6 +207,30 @@ class Scheduler:
             last_len = 0
             cache1 = None
             logits = None
+            if self.prefix_cache is not None:
+                done = self.prefix_cache.match(req.prompt)
+                if done:
+                    k, v = self.prefix_cache.gather(req.prompt, done)
+                    cache1 = init_cache(
+                        self.model.cfg, 1, self.max_seq, self.dtype
+                    )
+                    cache1 = KVCache(
+                        k=tuple(
+                            jax.lax.dynamic_update_slice(
+                                buf, k[i].astype(buf.dtype),
+                                (0, 0, 0, 0),
+                            )
+                            for i, buf in enumerate(cache1.k)
+                        ),
+                        v=tuple(
+                            jax.lax.dynamic_update_slice(
+                                buf, v[i].astype(buf.dtype),
+                                (0, 0, 0, 0),
+                            )
+                            for i, buf in enumerate(cache1.v)
+                        ),
+                        lengths=jnp.full((1,), done, jnp.int32),
+                    )
             while done < plen:
                 chunk = req.prompt[done: done + max_bucket]
                 last_len = len(chunk)
@@ -215,6 +247,13 @@ class Scheduler:
                     jnp.asarray(done, jnp.int32),
                 )
                 done += last_len
+            if self.prefix_cache is not None:
+                self.prefix_cache.insert(
+                    req.prompt,
+                    jnp.stack([b[:, :plen] for b in cache1.k]),
+                    jnp.stack([b[:, :plen] for b in cache1.v]),
+                    plen,
+                )
             first_logits = logits[0, last_len - 1]
             if req.temperature > 0:
                 key = jax.random.PRNGKey(req.seed)
