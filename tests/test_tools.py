@@ -98,3 +98,38 @@ def test_pre_process_cli(tmp_path):
     after = _weights_of(dst)
     for k in before:
         np.testing.assert_allclose(before[k], after[k], rtol=0, atol=0)
+
+
+def test_wrapper_prefix_checkpoints(tmp_path):
+    """SentenceTransformer-style nesting: tensors live under
+    ``0.auto_model.<name>`` while config_for_layers uses bare names
+    (reference pack_model navigates model[0].auto_model,
+    reference pack.py:269-281). Transforms must resolve the prefix."""
+    from vptq_tpu.tools.checkpoint_tools import resolve_layer_prefix
+
+    src = tmp_path / "src"
+    write_synthetic_checkpoint(src, tiny_model_config(), vq_kwargs=VQ,
+                               seed=33)
+    state, config = load_raw_state(str(src))
+    plain_state = dict(state)
+
+    wrapped = {f"0.auto_model.{k}": v for k, v in state.items()}
+    assert resolve_layer_prefix(wrapped, config) == "0.auto_model."
+
+    # absorb_perm on wrapped == absorb_perm on plain, modulo prefix
+    w_state, w_config = absorb_perm(dict(wrapped), dict(config))
+    state2, config2 = load_raw_state(str(src))
+    p_state, p_config = absorb_perm(state2, config2)
+    assert set(w_state) == {f"0.auto_model.{k}" for k in p_state}
+    for k, v in p_state.items():
+        np.testing.assert_array_equal(w_state[f"0.auto_model.{k}"], v)
+
+    # unpack -> pack round-trip under the prefix
+    state3, config3 = unpack_checkpoint(
+        dict(wrapped), dict(config)
+    )
+    state4, config4 = pack_checkpoint(state3, config3)
+    for k, v in plain_state.items():
+        np.testing.assert_array_equal(
+            state4[f"0.auto_model.{k}"], v
+        )

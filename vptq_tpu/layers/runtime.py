@@ -149,10 +149,14 @@ class Int4Linear:
         if use_pallas():
             # in_tile 2048 always: the Mosaic lowering needs the
             # per-step scale-row offset (j * in_tile/256) provably
-            # divisible by 8 — _encode_int4 pads in_features to 2048
+            # divisible by 8 — _encode_int4 pads in_features to 2048.
+            # out_tile from the v5e sweep (examples/autotune_w4.py):
+            # 2048 for wide outputs, 1024 below.
+            out_f = self.wq.shape[0]
             ot = (
-                1024 if self.wq.shape[0] >= 1024
-                else (512 if self.wq.shape[0] >= 512 else 256)
+                2048 if out_f >= 8192
+                else (1024 if out_f >= 1024
+                      else (512 if out_f >= 512 else 256))
             )
             out = w4_matmul(
                 x, self.wq, self.scales,

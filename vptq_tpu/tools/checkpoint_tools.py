@@ -35,7 +35,35 @@ __all__ = [
     "absorb_perm",
     "pack_checkpoint",
     "unpack_checkpoint",
+    "resolve_layer_prefix",
 ]
+
+
+def resolve_layer_prefix(state, config) -> str:
+    """Tensor-name prefix between state-dict keys and
+    ``config_for_layers`` names.
+
+    Wrapper checkpoints nest the transformer under an extra module
+    path — e.g. SentenceTransformer stores it as ``0.auto_model.<name>``
+    (the reference navigates ``model[0].auto_model`` in ``pack_model``,
+    reference pack.py:269-281). Returns "" for plain checkpoints.
+    """
+    qcfg = QuantizationConfig.from_dict(
+        config.get("quantization_config", {})
+    )
+    names = list(qcfg.config_for_layers)
+    if not names:
+        return ""
+    probe = f"{names[0]}.indices"
+    if probe in state:
+        return ""
+    for key in state:
+        if key.endswith("." + probe):
+            return key[: -len(probe)]
+    raise KeyError(
+        f"cannot locate {probe!r} in checkpoint state "
+        "(unknown wrapper layout)"
+    )
 
 
 def load_raw_state(checkpoint_dir: str):
@@ -89,6 +117,7 @@ def absorb_perm(state, config):
     """
     qc = config.get("quantization_config", {})
     layers = qc.get("config_for_layers", {})
+    prefix = resolve_layer_prefix(state, config)
     n_absorbed = 0
     for name, layer_cfg in list(_iter_vq_layers(config)):
         if not layer_cfg.enable_perm:
@@ -100,11 +129,11 @@ def absorb_perm(state, config):
             logger.debug("%s: outliers present, skipping absorption", name)
             continue
 
-        perm_key = f"{name}.perm"
+        perm_key = f"{prefix}{name}.perm"
         perm = view_as_uint16(state.pop(perm_key)).astype(np.int64)
         inv_perm = np.argsort(perm)
 
-        idx_key = f"{name}.indices"
+        idx_key = f"{prefix}{name}.indices"
         if layer_cfg.is_indice_packed:
             packed = state[idx_key].view(np.int32).reshape(
                 layer_cfg.num_codebooks,
@@ -142,7 +171,7 @@ def absorb_perm(state, config):
             state[idx_key] = (
                 ids[..., inv_perm].astype(np.uint16).view(raw.dtype)
             ).reshape(raw.shape)
-            res_key = f"{name}.res_indices"
+            res_key = f"{prefix}{name}.res_indices"
             if res_key in state:
                 raw = state[res_key]
                 res = view_as_uint16(raw).reshape(
@@ -169,11 +198,12 @@ def pack_checkpoint(state, config):
     (publisher flow, reference convert_idx_dtype pack.py:147-242)."""
     qc = config.get("quantization_config", {})
     layers = qc.get("config_for_layers", {})
+    prefix = resolve_layer_prefix(state, config)
     for name, layer_cfg in list(_iter_vq_layers(config)):
         if layer_cfg.is_indice_packed:
             continue
-        idx_key = f"{name}.indices"
-        res_key = f"{name}.res_indices"
+        idx_key = f"{prefix}{name}.indices"
+        res_key = f"{prefix}{name}.res_indices"
         main = view_as_uint16(state[idx_key]).astype(np.int64).reshape(
             layer_cfg.num_codebooks,
             layer_cfg.num_indices,
@@ -198,10 +228,11 @@ def unpack_checkpoint(state, config):
     """Packed int32 stream → separate uint16-viewed planes."""
     qc = config.get("quantization_config", {})
     layers = qc.get("config_for_layers", {})
+    prefix = resolve_layer_prefix(state, config)
     for name, layer_cfg in list(_iter_vq_layers(config)):
         if not layer_cfg.is_indice_packed:
             continue
-        idx_key = f"{name}.indices"
+        idx_key = f"{prefix}{name}.indices"
         packed = state[idx_key].view(np.int32).reshape(
             layer_cfg.num_codebooks,
             layer_cfg.num_indices,
@@ -215,9 +246,9 @@ def unpack_checkpoint(state, config):
         )
         state[idx_key] = main.astype(np.uint16).view(np.int16)
         if res is not None:
-            state[f"{name}.res_indices"] = res.astype(np.uint16).view(
-                np.int16
-            )
+            state[f"{prefix}{name}.res_indices"] = res.astype(
+                np.uint16
+            ).view(np.int16)
         layers[name]["is_indice_packed"] = False
         layers[name]["indices_as_float"] = False
     return state, config
