@@ -82,7 +82,7 @@ def main(argv=None) -> int:
                    help="plain-text file to evaluate")
     p.add_argument("--seq-len", type=int, default=4096)
     p.add_argument("--runtime-format", default="int8",
-                   choices=("int8", "bf16", "codebook"))
+                   choices=("int8", "int4", "bf16", "codebook"))
     args = p.parse_args(argv)
 
     from transformers import AutoTokenizer

@@ -471,9 +471,62 @@ def fuse_linears(linears):
     return None  # codebook layers are not fused
 
 
+def _fuse_expert(mlp):
+    """Fuse one expert Mlp's gate|up (returns possibly-new Mlp)."""
+    from vptq_tpu.models.llama import Mlp
+
+    if mlp.gate_up_proj is not None or mlp.gate_proj is None:
+        return mlp
+    fused = fuse_linears([mlp.gate_proj, mlp.up_proj])
+    if fused is None:
+        return mlp
+    return Mlp(
+        gate_proj=None, up_proj=None,
+        down_proj=mlp.down_proj, gate_up_proj=fused,
+    )
+
+
+def stack_experts(experts):
+    """Build the MoE decode fast-path weights (StackedExperts), or
+    None when the experts are not a uniform Int8Linear family."""
+    from vptq_tpu.models.llama import StackedExperts
+
+    gus = [e.gate_up_proj for e in experts]
+    downs = [e.down_proj for e in experts]
+    if not all(isinstance(m, Int8Linear) for m in gus + downs):
+        return None
+    if any(m.bias is not None for m in gus + downs):
+        return None
+    gu0, d0 = gus[0], downs[0]
+    if any(
+        m.wq.shape != gu0.wq.shape or m.scales.shape != gu0.scales.shape
+        for m in gus
+    ):
+        return None
+    if any(
+        m.wq.shape != d0.wq.shape or m.scales.shape != d0.scales.shape
+        for m in downs
+    ):
+        return None
+    return StackedExperts(
+        gate_up_wq=jnp.stack([m.wq for m in gus]),
+        gate_up_scales=jnp.stack([m.scales for m in gus]),
+        down_wq=jnp.stack([m.wq for m in downs]),
+        down_scales=jnp.stack([m.scales for m in downs]),
+    )
+
+
 def fuse_model(model):
-    """Fuse q|k|v and gate|up projections across all blocks."""
-    from vptq_tpu.models.llama import Attention, Block, Mlp, Model
+    """Fuse q|k|v and gate|up projections across all blocks; stack
+    int8 MoE experts for the selected-experts decode fast path."""
+    from vptq_tpu.models.llama import (
+        Attention,
+        Block,
+        DeepseekMoe,
+        Mlp,
+        Model,
+        MoeMlp,
+    )
 
     from vptq_tpu.models.llama import Mlp as _Mlp
 
@@ -504,6 +557,28 @@ def fuse_model(model):
                     gate_proj=None, up_proj=None,
                     down_proj=mlp.down_proj, gate_up_proj=fused,
                 )
+        if isinstance(mlp, MoeMlp):
+            experts = tuple(_fuse_expert(e) for e in mlp.experts)
+            mlp = MoeMlp(
+                router=mlp.router,
+                experts=experts,
+                num_experts_per_tok=mlp.num_experts_per_tok,
+                stacked=stack_experts(experts),
+            )
+        elif isinstance(mlp, DeepseekMoe):
+            experts = tuple(_fuse_expert(e) for e in mlp.experts)
+            mlp = DeepseekMoe(
+                router_weight=mlp.router_weight,
+                correction_bias=mlp.correction_bias,
+                experts=experts,
+                shared_experts=_fuse_expert(mlp.shared_experts),
+                top_k=mlp.top_k,
+                n_group=mlp.n_group,
+                topk_group=mlp.topk_group,
+                norm_topk_prob=mlp.norm_topk_prob,
+                routed_scaling_factor=mlp.routed_scaling_factor,
+                stacked=stack_experts(experts),
+            )
         blocks.append(
             Block(
                 input_layernorm=block.input_layernorm,

@@ -299,14 +299,31 @@ class Mlp:
 
 
 @struct.dataclass
+class StackedExperts:
+    """Stacked int8 expert weights for the MoE decode fast path.
+
+    Built by ``runtime.fuse_model`` when every expert is an Int8Linear
+    pair (fused gate|up + down). Decode then computes only the top-k
+    selected experts per token, reading ONLY their bytes from HBM via
+    a scalar-prefetch Pallas kernel (``w8_matmul_expert``) — the dense
+    fallback streams all E experts every step.
+    """
+
+    gate_up_wq: jnp.ndarray  # (E, 2*inter, hidden_p) int8
+    gate_up_scales: jnp.ndarray  # (E, G1, 2*inter) f32
+    down_wq: jnp.ndarray  # (E, hidden, inter_p) int8
+    down_scales: jnp.ndarray  # (E, G2, hidden) f32
+
+
+@struct.dataclass
 class MoeMlp:
     """Mixtral-style sparse MoE block: softmax router + top-k experts.
 
-    Correctness-first evaluation: every expert runs on every token and
-    is mixed by its (zeroed outside top-k) routing weight — numerically
-    identical to gather/scatter routing and shape-static for XLA. The
-    decode fast path (dynamic-slice only the selected experts) is a
-    planned optimization.
+    Prefill evaluates every expert on every token mixed by its (zeroed
+    outside top-k) routing weight — numerically identical to
+    gather/scatter routing and shape-static for XLA. Decode with few
+    tokens takes the selected-experts fast path when ``stacked`` is
+    present (see :class:`StackedExperts`).
     """
 
     router: Linear  # hidden -> num_experts
@@ -314,6 +331,7 @@ class MoeMlp:
     num_experts_per_tok: int = struct.field(
         pytree_node=False, default=2
     )
+    stacked: Optional[StackedExperts] = None
 
 
 @struct.dataclass
@@ -352,6 +370,7 @@ class DeepseekMoe:
     routed_scaling_factor: float = struct.field(
         pytree_node=False, default=1.0
     )
+    stacked: Optional[StackedExperts] = None
 
 
 @struct.dataclass
@@ -754,6 +773,13 @@ def _deepseek_moe(moe: DeepseekMoe, x: jnp.ndarray) -> jnp.ndarray:
         )
     top_w = top_w * moe.routed_scaling_factor
 
+    n_tokens = 1
+    for d in lead:
+        n_tokens *= d
+    if moe.stacked is not None and n_tokens <= _MOE_FAST_MAX_TOKENS:
+        routed = _moe_fast(moe.stacked, x, top_ids, top_w)
+        return routed + _mlp(moe.shared_experts, x)
+
     mix = jnp.sum(
         jax.nn.one_hot(top_ids, num_experts, dtype=jnp.float32)
         * top_w[..., None],
@@ -768,12 +794,96 @@ def _deepseek_moe(moe: DeepseekMoe, x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+# decode fast path engages when the (static) token count is at most
+# this — each token costs k expert matmuls, so large batches are
+# better served by the dense all-experts path
+_MOE_FAST_MAX_TOKENS = 8
+
+
+def _expert_matmul(x2, wq, scales, e):
+    """(T, in) @ expert e of stacked (E, out, in) int8 weights."""
+    from vptq_tpu.ops.quant_matmul import use_pallas
+
+    in_p = wq.shape[2]
+    if x2.shape[-1] != in_p:
+        x2 = jnp.pad(x2, ((0, 0), (0, in_p - x2.shape[-1])))
+    if use_pallas():
+        from vptq_tpu.ops.pallas_gemm import w8_matmul_expert
+
+        group = in_p // scales.shape[1]
+        in_tile = group
+        for cand in (2048, 1024, 512):
+            if cand <= group and group % cand == 0:
+                in_tile = cand
+                break
+        out_f = wq.shape[1]
+        ot = 1024 if out_f >= 1024 else (512 if out_f >= 512 else 256)
+        return w8_matmul_expert(
+            x2, wq, scales, e, out_tile=ot, in_tile=in_tile
+        )
+    wq_e = jax.lax.dynamic_index_in_dim(wq, e, 0, keepdims=False)
+    s_e = jax.lax.dynamic_index_in_dim(scales, e, 0, keepdims=False)
+    group = in_p // s_e.shape[0]
+    w = (
+        wq_e.astype(jnp.float32).reshape(wq_e.shape[0], -1, group)
+        * s_e.T[:, :, None]
+    ).reshape(wq_e.shape)
+    return jnp.dot(
+        x2.astype(jnp.float32), w.T,
+        preferred_element_type=jnp.float32,
+    ).astype(x2.dtype)
+
+
+def _moe_fast(
+    stacked: StackedExperts,
+    x: jnp.ndarray,  # (..., hidden)
+    top_ids: jnp.ndarray,  # (..., k) int32
+    top_w: jnp.ndarray,  # (..., k) f32
+) -> jnp.ndarray:
+    """Selected-experts evaluation: k expert MLPs per token."""
+    lead = x.shape[:-1]
+    hidden = x.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    xf = x.reshape(n, hidden)
+    ids = top_ids.reshape(n, -1)
+    ws = top_w.reshape(n, -1)
+    k = ids.shape[1]
+    inter2 = stacked.gate_up_wq.shape[1]
+
+    outs = []
+    for t in range(n):
+        acc = jnp.zeros((hidden,), jnp.float32)
+        xt = xf[t: t + 1]
+        for j in range(k):
+            e = ids[t, j].astype(jnp.int32)
+            gu = _expert_matmul(
+                xt, stacked.gate_up_wq, stacked.gate_up_scales, e
+            )
+            gate, up = jnp.split(gu[:, :inter2], 2, axis=-1)
+            h = jax.nn.silu(gate) * up
+            d = _expert_matmul(
+                h, stacked.down_wq, stacked.down_scales, e
+            )
+            acc = acc + ws[t, j].astype(jnp.float32) * d[0].astype(
+                jnp.float32
+            )
+        outs.append(acc)
+    return jnp.stack(outs).reshape(*lead, hidden).astype(x.dtype)
+
+
 def _moe_mlp(moe: MoeMlp, x: jnp.ndarray) -> jnp.ndarray:
     # router in fp32 (HF MixtralSparseMoeBlock does the same)
     logits = moe.router(x).astype(jnp.float32)  # (..., E)
     k = moe.num_experts_per_tok
     top_w, top_ids = jax.lax.top_k(logits, k)
     top_w = jax.nn.softmax(top_w, axis=-1)  # normalize over top-k
+    n_tokens = 1
+    for d in x.shape[:-1]:
+        n_tokens *= d
+    if moe.stacked is not None and n_tokens <= _MOE_FAST_MAX_TOKENS:
+        return _moe_fast(moe.stacked, x, top_ids, top_w)
     num_experts = len(moe.experts)
     # scatter normalized weights back to a dense (..., E) mix tensor
     mix = jnp.sum(

@@ -35,7 +35,12 @@ def _interpret() -> bool:
     # the test-suite to validate kernel semantics off-TPU.
     return os.environ.get("VPTQ_TPU_PALLAS_INTERPRET", "0") == "1"
 
-__all__ = ["w8_matmul", "w4_matmul", "bf16_matmul"]
+__all__ = [
+    "w8_matmul",
+    "w8_matmul_expert",
+    "w4_matmul",
+    "bf16_matmul",
+]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -171,6 +176,128 @@ def w8_matmul(
         ),
         interpret=_interpret(),
     )(x2.astype(jnp.bfloat16), wq, scales)
+
+    out = out[:tokens, :out_features]
+    return out.reshape(*lead_shape, out_features).astype(out_dtype)
+
+
+def _w8e_kernel(
+    e_ref, x_ref, w_ref, s_ref, o_ref, acc_ref,
+    *, n_in_tiles: int, tiles_per_group: int,
+):
+    """w8 grid step over ONE expert of a stacked (E, OUT, IN) weight.
+
+    The expert id arrives via scalar prefetch (e_ref) and drives the
+    block index maps — only the selected expert's tiles are ever
+    DMA'd from HBM (the TPU analogue of gather-free MoE dispatch).
+    """
+    j = pl.program_id(1)
+
+    w = w_ref[0].astype(jnp.bfloat16)
+    part = jax.lax.dot_general(
+        x_ref[:],
+        w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    part = part * s_ref[0, j // tiles_per_group, :][None, :]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(j == n_in_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_tile", "in_tile", "out_dtype")
+)
+def w8_matmul_expert(
+    x: jnp.ndarray,  # (..., IN)
+    wq: jnp.ndarray,  # (E, OUT, IN) int8 — stacked experts
+    scales: jnp.ndarray,  # (E, IN // group, OUT) f32
+    expert: jnp.ndarray,  # () int32 — which expert
+    *,
+    out_tile: int = 512,
+    in_tile: int = 2048,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """``x @ (scales[e] ⊙ wq[e])^T`` reading ONLY expert ``e``'s bytes.
+
+    The MoE decode hot path: per token only the top-k experts' weights
+    cross HBM (the dense fallback reads all E experts every step).
+    """
+    n_experts, out_features, in_features = wq.shape
+    if in_features % in_tile:
+        raise ValueError(f"in_features {in_features} % {in_tile} != 0")
+    n_groups = scales.shape[1]
+    if scales.shape != (n_experts, n_groups, out_features) or (
+        in_features % n_groups
+    ):
+        raise ValueError(f"scales shape {scales.shape} mismatch")
+    group = in_features // n_groups
+    if group % in_tile:
+        raise ValueError(
+            f"scale group {group} must be a multiple of in_tile {in_tile}"
+        )
+    tiles_per_group = group // in_tile
+
+    lead_shape = x.shape[:-1]
+    tokens = 1
+    for d in lead_shape:
+        tokens *= d
+    x2 = x.reshape(tokens, in_features)
+    t_pad = _round_up(max(tokens, 1), 16)
+    if t_pad != tokens:
+        x2 = jnp.pad(x2, ((0, t_pad - tokens), (0, 0)))
+
+    o_pad = _round_up(out_features, out_tile)
+    n_out = o_pad // out_tile
+    n_in = in_features // in_tile
+    out_dtype = out_dtype or x.dtype
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w8e_kernel,
+            n_in_tiles=n_in,
+            tiles_per_group=tiles_per_group,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_out, n_in),
+            in_specs=[
+                pl.BlockSpec((t_pad, in_tile), lambda i, j, e: (0, j)),
+                pl.BlockSpec(
+                    (1, out_tile, in_tile),
+                    lambda i, j, e: (e[0], i, j),
+                ),
+                pl.BlockSpec(
+                    (1, n_groups, out_tile),
+                    lambda i, j, e: (e[0], 0, i),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (t_pad, out_tile), lambda i, j, e: (0, i)
+            ),
+            scratch_shapes=[pltpu.VMEM((t_pad, out_tile), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_pad, out_features), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(
+        expert.reshape(1).astype(jnp.int32),
+        x2.astype(jnp.bfloat16),
+        wq,
+        scales,
+    )
 
     out = out[:tokens, :out_features]
     return out.reshape(*lead_shape, out_features).astype(out_dtype)

@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--runtime-format", type=str, default="int8",
-        choices=("int8", "bf16", "codebook"),
+        choices=("int8", "int4", "bf16", "codebook"),
         help="runtime weight format (see ARCHITECTURE.md)",
     )
     p.add_argument("--max-new-tokens", type=int, default=256)

@@ -292,7 +292,7 @@ def main(argv=None) -> int:
     p.add_argument("-m", "--model", required=True)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--runtime-format", default="int8",
-                   choices=("int8", "bf16"))
+                   choices=("int8", "int4", "bf16"))
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
