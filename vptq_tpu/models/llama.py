@@ -237,11 +237,24 @@ def rope_frequencies(cfg: ModelConfig) -> Tuple[jnp.ndarray, float]:
     return inv_freq, attention_scaling
 
 
-def apply_rope(
-    x: jnp.ndarray,  # (B, S, H, D)
+def rope_cos_sin(
     positions: jnp.ndarray,  # (B, S)
     inv_freq: jnp.ndarray,  # (D/2,)
     scale: float = 1.0,
+):
+    """cos/sin tables (B, S, 1, D/2) — computed ONCE per forward and
+    shared by every layer (hoisting the trig out of the layer loop)."""
+    angles = positions[..., None].astype(jnp.float32) * inv_freq
+    return (
+        jnp.cos(angles)[:, :, None, :] * scale,
+        jnp.sin(angles)[:, :, None, :] * scale,
+    )
+
+
+def apply_rope(
+    x: jnp.ndarray,  # (B, S, H, D)
+    cos: jnp.ndarray,  # (B, S, 1, D/2)
+    sin: jnp.ndarray,
     interleaved: bool = False,
 ) -> jnp.ndarray:
     """Rotary embedding, half-split pairing (HF rotate_half semantics).
@@ -255,9 +268,6 @@ def apply_rope(
         b, s, h, d = x.shape
         x = x.reshape(b, s, h, d // 2, 2).transpose(0, 1, 2, 4, 3)
         x = x.reshape(b, s, h, d)
-    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B,S,D/2)
-    cos = jnp.cos(angles)[:, :, None, :] * scale
-    sin = jnp.sin(angles)[:, :, None, :] * scale
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
@@ -456,8 +466,8 @@ def _attention(
     block_idx: int,
     attn: Attention,
     x: jnp.ndarray,  # (B, S, hidden)
-    positions: jnp.ndarray,  # (B, S)
-    inv_freq: jnp.ndarray,
+    cos: jnp.ndarray,  # (B, S, 1, D/2) — shared rope tables
+    sin: jnp.ndarray,
     cache: KVCache,
     cfg: ModelConfig,
     fresh_prefill: bool = False,
@@ -482,8 +492,8 @@ def _attention(
         k = attn.k_proj(x).reshape(batch, seq, nkv, hd)
         v = attn.v_proj(x).reshape(batch, seq, nkv, hd)
 
-    q = apply_rope(q, positions, inv_freq)
-    k = apply_rope(k, positions, inv_freq)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
 
     if (
         fresh_prefill
@@ -679,9 +689,8 @@ def _mla_attention(
     block_idx: int,
     attn: MlaAttention,
     x: jnp.ndarray,  # (B, S, hidden)
-    positions: jnp.ndarray,
-    inv_freq: jnp.ndarray,
-    rope_scale: float,
+    cos: jnp.ndarray,  # (B, S, 1, dr/2) — shared rope tables
+    sin: jnp.ndarray,
     cache: KVCache,
     cfg: ModelConfig,
 ) -> Tuple[jnp.ndarray, KVCache]:
@@ -713,12 +722,8 @@ def _mla_attention(
     k_nope, v = jnp.split(kv, [dn], axis=-1)
     k_rot = k_rot.reshape(batch, seq, 1, dr)
 
-    q_rot = apply_rope(
-        q_rot, positions, inv_freq, rope_scale, cfg.rope_interleave
-    )
-    k_rot = apply_rope(
-        k_rot, positions, inv_freq, rope_scale, cfg.rope_interleave
-    )
+    q_rot = apply_rope(q_rot, cos, sin, cfg.rope_interleave)
+    k_rot = apply_rope(k_rot, cos, sin, cfg.rope_interleave)
     k_rot = jnp.broadcast_to(k_rot, (batch, seq, nh, dr))
 
     q_full = jnp.concatenate([q_nope, q_rot], axis=-1)
@@ -930,17 +935,17 @@ def forward(
         + jnp.arange(seq)[None, :].astype(jnp.int32)
     )
     inv_freq, rope_scale = rope_frequencies(cfg)
+    cos, sin = rope_cos_sin(positions, inv_freq, rope_scale)
 
     for i, block in enumerate(model.blocks):
         h = rms_norm(x, block.input_layernorm, cfg.rms_norm_eps)
         if isinstance(block.attn, MlaAttention):
             attn_out, cache = _mla_attention(
-                i, block.attn, h, positions, inv_freq, rope_scale,
-                cache, cfg,
+                i, block.attn, h, cos, sin, cache, cfg,
             )
         else:
             attn_out, cache = _attention(
-                i, block.attn, h, positions, inv_freq, cache, cfg,
+                i, block.attn, h, cos, sin, cache, cfg,
                 fresh_prefill=fresh_prefill,
             )
         x = x + attn_out
