@@ -145,10 +145,11 @@ def main():
     from vptq_tpu.serving.generate import decode_loop
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    steps = int(args[0]) if args else 128
+    # AQLM protocol (tech report §5): 1-token prompt, 256 new tokens
+    steps = int(args[0]) if args else 256
     metric = "ttft" if "--ttft" in sys.argv else "decode"
     fmt = "int4" if "--int4" in sys.argv else "int8"
-    max_seq = max(256, steps + 8)
+    max_seq = max(512, steps + 8)
 
     rng = np.random.default_rng(0)
     t0 = time.time()

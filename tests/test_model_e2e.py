@@ -198,12 +198,16 @@ def test_decode_fast_path_matches_full_attention(ckpt):
 
     from vptq_tpu.serving.generate import Generator
 
-    # max_seq=512 -> decode steps use _decode_attend_blocks
-    fast = Generator(model, max_seq=512, dtype=jnp.float32,
+    # max_seq>=256 -> decode steps use _decode_attend_blocks
+    fast = Generator(model, max_seq=256, dtype=jnp.float32,
                      prompt_buckets=(16,))
+    fast512 = Generator(model, max_seq=512, dtype=jnp.float32,
+                        prompt_buckets=(16,))
     # max_seq=64 -> dense-mask decode path
     dense = Generator(model, max_seq=64, dtype=jnp.float32,
                       prompt_buckets=(16,))
     out_fast = fast.generate(prompt, max_new_tokens=8)
+    out_fast512 = fast512.generate(prompt, max_new_tokens=8)
     out_dense = dense.generate(prompt, max_new_tokens=8)
     assert out_fast == out_dense
+    assert out_fast512 == out_dense

@@ -650,7 +650,7 @@ def _cache_and_attend(
     v_cache = new_cache.v[block_idx]
 
     max_seq = k_cache.shape[1]
-    if seq == 1 and max_seq >= 512 and max_seq % 256 == 0:
+    if seq == 1 and max_seq >= 256 and max_seq % 256 == 0:
         # decode fast path: only read the live prefix of the cache
         out = _decode_attend_blocks(
             q, k_cache, v_cache, offsets, cfg, scale
