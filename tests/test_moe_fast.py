@@ -201,3 +201,100 @@ def test_mixtral_model_fast_path_end_to_end():
         np.testing.assert_allclose(
             np.asarray(l1), np.asarray(l2), rtol=2e-3, atol=2e-3
         )
+
+
+def _int4_linear(rng, out_f, in_f):
+    from vptq_tpu.layers.runtime import Int4Linear
+    from vptq_tpu.ops.packing import pack_int4, quantize_int4
+
+    in_p = in_f + ((-in_f) % 2048)
+    w = rng.standard_normal((out_f, in_p)).astype(np.float32) * 0.02
+    q, s = quantize_int4(w)
+    return Int4Linear(
+        wq=jnp.asarray(pack_int4(q)),
+        scales=jnp.asarray(np.ascontiguousarray(s.T), jnp.bfloat16),
+        bias=None,
+    )
+
+
+def test_moe_fast_int4_matches_dense():
+    from vptq_tpu.layers.runtime import stack_experts
+
+    rng = np.random.default_rng(11)
+    hidden, inter, E, k = 2048, 2048, 4, 2
+    experts = tuple(
+        Mlp(
+            gate_proj=None,
+            up_proj=None,
+            down_proj=_int4_linear(rng, hidden, inter),
+            gate_up_proj=_int4_linear(rng, 2 * inter, hidden),
+        )
+        for _ in range(E)
+    )
+    router = DenseLinear(
+        weight=jnp.asarray(
+            0.1 * rng.standard_normal((E, hidden)), jnp.float32
+        )
+    )
+    st = stack_experts(experts)
+    assert st is not None and st.fmt == "int4"
+    x = jnp.asarray(rng.standard_normal((1, 1, hidden)), jnp.float32)
+    dense = np.asarray(
+        _moe_mlp(
+            MoeMlp(router=router, experts=experts,
+                   num_experts_per_tok=k, stacked=None),
+            x,
+        )
+    )
+    fast = np.asarray(
+        _moe_mlp(
+            MoeMlp(router=router, experts=experts,
+                   num_experts_per_tok=k, stacked=st),
+            x,
+        )
+    )
+    np.testing.assert_allclose(dense, fast, rtol=2e-3, atol=2e-3)
+
+
+def test_w4_matmul_expert_interpret():
+    os.environ["VPTQ_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        from vptq_tpu.ops.pallas_gemm import w4_matmul_expert
+        from vptq_tpu.ops.packing import (
+            pack_int4,
+            quantize_int4,
+            unpack_int4,
+        )
+
+        rng = np.random.default_rng(12)
+        E, out_f, in_f = 3, 512, 2048
+        wqs, ss = [], []
+        for _ in range(E):
+            w = rng.standard_normal((out_f, in_f)).astype(np.float32)
+            q, s = quantize_int4(w)
+            wqs.append(pack_int4(q))
+            ss.append(s.T)
+        wq = jnp.asarray(np.stack(wqs))
+        scales = jnp.asarray(np.stack(ss), jnp.bfloat16)
+        x = rng.standard_normal((1, in_f)).astype(np.float32)
+        for e in [0, 2]:
+            got = np.asarray(
+                w4_matmul_expert(
+                    jnp.asarray(x), wq, scales,
+                    jnp.asarray(e, jnp.int32),
+                    out_tile=512, in_tile=2048,
+                    out_dtype=jnp.float32,
+                )
+            )
+            q = unpack_int4(np.asarray(wq)[e])
+            s = np.asarray(ss[e], np.float32).T  # (out, S)
+            w_hat = (
+                q.astype(np.float32).reshape(out_f, -1, 128)
+                * s[:, :, None]
+            ).reshape(out_f, in_f)
+            want = x @ w_hat.T
+            np.testing.assert_allclose(
+                got, want, rtol=0.02, atol=0.02 * np.abs(want).max()
+            )
+    finally:
+        os.environ.pop("VPTQ_TPU_PALLAS_INTERPRET", None)

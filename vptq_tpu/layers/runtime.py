@@ -488,12 +488,17 @@ def _fuse_expert(mlp):
 
 def stack_experts(experts):
     """Build the MoE decode fast-path weights (StackedExperts), or
-    None when the experts are not a uniform Int8Linear family."""
+    None when the experts are not a uniform Int8Linear/Int4Linear
+    family."""
     from vptq_tpu.models.llama import StackedExperts
 
     gus = [e.gate_up_proj for e in experts]
     downs = [e.down_proj for e in experts]
-    if not all(isinstance(m, Int8Linear) for m in gus + downs):
+    if all(isinstance(m, Int4Linear) for m in gus + downs):
+        fmt = "int4"
+    elif all(isinstance(m, Int8Linear) for m in gus + downs):
+        fmt = "int8"
+    else:
         return None
     if any(m.bias is not None for m in gus + downs):
         return None
@@ -513,6 +518,7 @@ def stack_experts(experts):
         gate_up_scales=jnp.stack([m.scales for m in gus]),
         down_wq=jnp.stack([m.wq for m in downs]),
         down_scales=jnp.stack([m.scales for m in downs]),
+        fmt=fmt,
     )
 
 

@@ -319,10 +319,11 @@ class StackedExperts:
     fallback streams all E experts every step.
     """
 
-    gate_up_wq: jnp.ndarray  # (E, 2*inter, hidden_p) int8
-    gate_up_scales: jnp.ndarray  # (E, G1, 2*inter) f32
-    down_wq: jnp.ndarray  # (E, hidden, inter_p) int8
-    down_scales: jnp.ndarray  # (E, G2, hidden) f32
+    gate_up_wq: jnp.ndarray  # (E, 2*inter, hidden_p) int8 (int4: packed /2)
+    gate_up_scales: jnp.ndarray  # (E, G1, 2*inter) f32 (int4: (E,S,2*inter) bf16)
+    down_wq: jnp.ndarray  # (E, hidden, inter_p) int8 (int4: packed /2)
+    down_scales: jnp.ndarray  # (E, G2, hidden) f32 (int4: (E,S,hidden) bf16)
+    fmt: str = struct.field(pytree_node=False, default="int8")
 
 
 @struct.dataclass
@@ -805,14 +806,23 @@ def _deepseek_moe(moe: DeepseekMoe, x: jnp.ndarray) -> jnp.ndarray:
 _MOE_FAST_MAX_TOKENS = 8
 
 
-def _expert_matmul(x2, wq, scales, e):
-    """(T, in) @ expert e of stacked (E, out, in) int8 weights."""
+def _expert_matmul(x2, wq, scales, e, fmt="int8"):
+    """(T, in) @ expert e of stacked (E, out, in[/2]) quantized
+    weights (int8 or packed-nibble int4)."""
     from vptq_tpu.ops.quant_matmul import use_pallas
 
-    in_p = wq.shape[2]
+    in_p = wq.shape[2] * (2 if fmt == "int4" else 1)
     if x2.shape[-1] != in_p:
         x2 = jnp.pad(x2, ((0, 0), (0, in_p - x2.shape[-1])))
+    out_f = wq.shape[1]
+    ot = 1024 if out_f >= 1024 else (512 if out_f >= 512 else 256)
     if use_pallas():
+        if fmt == "int4":
+            from vptq_tpu.ops.pallas_gemm import w4_matmul_expert
+
+            return w4_matmul_expert(
+                x2, wq, scales, e, out_tile=ot, in_tile=2048
+            )
         from vptq_tpu.ops.pallas_gemm import w8_matmul_expert
 
         group = in_p // scales.shape[1]
@@ -821,18 +831,25 @@ def _expert_matmul(x2, wq, scales, e):
             if cand <= group and group % cand == 0:
                 in_tile = cand
                 break
-        out_f = wq.shape[1]
-        ot = 1024 if out_f >= 1024 else (512 if out_f >= 512 else 256)
         return w8_matmul_expert(
             x2, wq, scales, e, out_tile=ot, in_tile=in_tile
         )
     wq_e = jax.lax.dynamic_index_in_dim(wq, e, 0, keepdims=False)
     s_e = jax.lax.dynamic_index_in_dim(scales, e, 0, keepdims=False)
-    group = in_p // s_e.shape[0]
-    w = (
-        wq_e.astype(jnp.float32).reshape(wq_e.shape[0], -1, group)
-        * s_e.T[:, :, None]
-    ).reshape(wq_e.shape)
+    if fmt == "int4":
+        lo = jnp.right_shift(jnp.left_shift(wq_e, 4), 4)
+        hi = jnp.right_shift(wq_e, 4)
+        q = jnp.concatenate([lo, hi], axis=1)
+        w = (
+            q.astype(jnp.float32).reshape(out_f, -1, 128)
+            * s_e.astype(jnp.float32).T[:, :, None]
+        ).reshape(out_f, in_p)
+    else:
+        group = in_p // s_e.shape[0]
+        w = (
+            wq_e.astype(jnp.float32).reshape(out_f, -1, group)
+            * s_e.T[:, :, None]
+        ).reshape(wq_e.shape)
     return jnp.dot(
         x2.astype(jnp.float32), w.T,
         preferred_element_type=jnp.float32,
@@ -864,12 +881,14 @@ def _moe_fast(
         for j in range(k):
             e = ids[t, j].astype(jnp.int32)
             gu = _expert_matmul(
-                xt, stacked.gate_up_wq, stacked.gate_up_scales, e
+                xt, stacked.gate_up_wq, stacked.gate_up_scales, e,
+                stacked.fmt,
             )
             gate, up = jnp.split(gu[:, :inter2], 2, axis=-1)
             h = jax.nn.silu(gate) * up
             d = _expert_matmul(
-                h, stacked.down_wq, stacked.down_scales, e
+                h, stacked.down_wq, stacked.down_scales, e,
+                stacked.fmt,
             )
             acc = acc + ws[t, j].astype(jnp.float32) * d[0].astype(
                 jnp.float32

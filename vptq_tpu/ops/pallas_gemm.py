@@ -471,6 +471,144 @@ def w4_matmul(
     return out.reshape(*lead_shape, out_features).astype(out_dtype)
 
 
+def _w4e_kernel(
+    e_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, acc_ref,
+    *, n_in_tiles: int, s_half: int,
+):
+    """int4 grid step over ONE expert of stacked (E, OUT, IN/2) nibble
+    weights — expert id via scalar prefetch (see _w8e_kernel)."""
+    j = pl.program_id(1)
+
+    w = w_ref[0].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w, 28), 28)
+    hi = jnp.right_shift(w, 4)
+
+    n_scale_rows = s_ref.shape[1]
+    sl = s_ref[0, pl.ds(j * s_half, s_half), :]  # (s_half, O_T)
+    sh = s_ref[0, pl.ds(n_scale_rows // 2 + j * s_half, s_half), :]
+
+    dims = (((1,), (1,)), ((), ()))
+    part = jnp.zeros(acc_ref.shape, jnp.float32)
+    for sub in range(s_half):
+        c0, c1 = sub * W4_GROUP, (sub + 1) * W4_GROUP
+        pl_ = jax.lax.dot_general(
+            xl_ref[:, c0:c1], lo[:, c0:c1].astype(jnp.bfloat16),
+            dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        ph_ = jax.lax.dot_general(
+            xh_ref[:, c0:c1], hi[:, c0:c1].astype(jnp.bfloat16),
+            dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        part = part + pl_ * sl[sub, :].astype(jnp.float32)[None, :]
+        part = part + ph_ * sh[sub, :].astype(jnp.float32)[None, :]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(j == n_in_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_tile", "in_tile", "out_dtype")
+)
+def w4_matmul_expert(
+    x: jnp.ndarray,  # (..., IN)
+    wq: jnp.ndarray,  # (E, OUT, IN // 2) int8 — stacked packed nibbles
+    scales: jnp.ndarray,  # (E, IN // 128, OUT) bf16
+    expert: jnp.ndarray,  # () int32
+    *,
+    out_tile: int = 512,
+    in_tile: int = 2048,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """int4 expert matmul reading ONLY expert ``e``'s bytes (the MoE
+    decode hot path in the int4 runtime format)."""
+    n_experts, out_features = wq.shape[0], wq.shape[1]
+    in_features = wq.shape[2] * 2
+    if x.shape[-1] != in_features:
+        raise ValueError(
+            f"x last dim {x.shape[-1]} != padded in_features {in_features}"
+        )
+    if in_features % in_tile:
+        raise ValueError(
+            f"in_features {in_features} % in_tile {in_tile} != 0"
+        )
+    if in_tile % (2 * W4_GROUP) or (in_tile // 256) % 8:
+        raise ValueError(f"in_tile {in_tile} unsupported (use 2048)")
+    if scales.shape != (
+        n_experts, in_features // W4_GROUP, out_features
+    ):
+        raise ValueError(f"scales shape {scales.shape} mismatch")
+
+    lead_shape = x.shape[:-1]
+    tokens = 1
+    for d in lead_shape:
+        tokens *= d
+    x2 = x.reshape(tokens, in_features)
+    t_pad = _round_up(max(tokens, 1), 16)
+    if t_pad != tokens:
+        x2 = jnp.pad(x2, ((0, t_pad - tokens), (0, 0)))
+
+    o_pad = _round_up(out_features, out_tile)
+    n_out = o_pad // out_tile
+    n_in = in_features // in_tile
+    half = in_tile // 2
+    s_half = half // W4_GROUP
+    n_scale_rows = in_features // W4_GROUP
+    out_dtype = out_dtype or x.dtype
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4e_kernel, n_in_tiles=n_in, s_half=s_half
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_out, n_in),
+            in_specs=[
+                pl.BlockSpec((t_pad, half), lambda i, j, e: (0, j)),
+                pl.BlockSpec(
+                    (t_pad, half), lambda i, j, e: (0, j + n_in)
+                ),
+                pl.BlockSpec(
+                    (1, out_tile, half),
+                    lambda i, j, e: (e[0], i, j),
+                ),
+                pl.BlockSpec(
+                    (1, n_scale_rows, out_tile),
+                    lambda i, j, e: (e[0], 0, i),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (t_pad, out_tile), lambda i, j, e: (0, i)
+            ),
+            scratch_shapes=[pltpu.VMEM((t_pad, out_tile), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_pad, out_features), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(
+        expert.reshape(1).astype(jnp.int32),
+        x2.astype(jnp.bfloat16),
+        x2.astype(jnp.bfloat16),
+        wq,
+        scales.astype(jnp.bfloat16),
+    )
+
+    out = out[:tokens, :out_features]
+    return out.reshape(*lead_shape, out_features).astype(out_dtype)
+
+
 def _bf16_kernel(x_ref, w_ref, o_ref, acc_ref, *, n_in_tiles: int):
     j = pl.program_id(1)
     part = jax.lax.dot_general(
