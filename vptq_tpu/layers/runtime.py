@@ -39,15 +39,18 @@ RUNTIME_FORMATS = ("int8", "int4", "bf16", "codebook")
 GROUP_CANDIDATES = (2048, 1024, 512)
 
 
-def pick_tiles(out_f: int, in_p: int, group: int):
+def pick_tiles(out_f: int, in_p: int, group: int, tokens: int = 1):
     """(out_tile, in_tile) for the fused dequant matmul.
 
     From a v5e sweep over 7B decode shapes (examples/autotune_w8.py):
     in_tile 2048 and out_tile 512-1024 sit on a ~700-810 GB/s plateau
-    (85-99% of HBM); small tiles fall to ~300-450 GB/s. The heuristic:
-    the largest in_tile dividing the scale group, out_tile 1024
-    (bounded by out_f rounded up — partial boundary blocks are free).
+    (85-99% of HBM); small tiles fall to ~300-450 GB/s; at prefill
+    token counts (T=512) (1024, 2048) reaches ~170-225 TFLOP/s.
+
+    The kernel tiles the token dim at 512 internally (w8_matmul), so
+    these picks fit VMEM at any token count.
     """
+    del tokens
     in_tile = group
     for cand in (2048, 1024, 512):
         if cand <= group and group % cand == 0 and in_p % cand == 0:
@@ -92,8 +95,11 @@ class Int8Linear:
             x = jnp.pad(x, pad)
 
         if use_pallas():
+            tokens = 1
+            for d in x.shape[:-1]:
+                tokens *= d
             ot, it = pick_tiles(
-                self.wq.shape[0], in_padded, self.group
+                self.wq.shape[0], in_padded, self.group, tokens
             )
             out = w8_matmul(
                 x, self.wq, self.scales, out_tile=ot, in_tile=it,
@@ -151,10 +157,15 @@ class Int4Linear:
             # per-step scale-row offset (j * in_tile/256) provably
             # divisible by 8 — _encode_int4 pads in_features to 2048.
             # out_tile from the v5e sweep (examples/autotune_w4.py):
-            # 2048 for wide outputs, 1024 below.
+            # 2048 for wide outputs at decode token counts; 1024 at
+            # prefill (the f32 accumulator + out double-buffer of a
+            # (512-token, 2048-out) tile would overflow VMEM)
+            tokens = 1
+            for d in x.shape[:-1]:
+                tokens *= d
             out_f = self.wq.shape[0]
             ot = (
-                2048 if out_f >= 8192
+                2048 if (out_f >= 8192 and tokens <= 64)
                 else (1024 if out_f >= 1024
                       else (512 if out_f >= 512 else 256))
             )

@@ -55,15 +55,15 @@ def _w8_kernel(
     x_ref, w_ref, s_ref, o_ref, acc_ref,
     *, n_in_tiles: int, tiles_per_group: int,
 ):
-    """One (out_tile, in_tile) grid step.
+    """One (token_tile, out_tile, in_tile) grid step.
 
-    x_ref: (T, I_T) bf16; w_ref: (O_T, I_T) int8;
+    x_ref: (T_T, I_T) bf16; w_ref: (O_T, I_T) int8;
     s_ref: (n_groups, O_T) f32 — per-(in-group, row) scales; the scale
     group is ``tiles_per_group * I_T`` input columns (all groups
     resident; the row for step j is ``j // tiles_per_group``);
-    o_ref: (T, O_T) out dtype; acc_ref: (T, O_T) f32 scratch.
+    o_ref: (T_T, O_T) out dtype; acc_ref: (T_T, O_T) f32 scratch.
     """
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     w = w_ref[:].astype(jnp.bfloat16)
     part = jax.lax.dot_general(
@@ -123,8 +123,12 @@ def w8_matmul(
         tokens *= d
     x2 = x.reshape(tokens, in_features)
 
-    # pad token dim to the bf16 sublane tile
-    t_pad = _round_up(max(tokens, 1), 16)
+    # pad the token dim to the bf16 sublane tile; beyond one token
+    # tile (512 — the VMEM budget: x + f32 accumulator + out all hold
+    # a full token tile), round up to a multiple of the tile and add a
+    # token grid dimension
+    t_tile = min(_round_up(max(tokens, 1), 16), 512)
+    t_pad = _round_up(max(tokens, 1), t_tile)
     if t_pad != tokens:
         x2 = jnp.pad(x2, ((0, t_pad - tokens), (0, 0)))
 
@@ -135,6 +139,7 @@ def w8_matmul(
     # every call — measured 3x throughput loss on lm_head shapes.)
     o_pad = _round_up(out_features, out_tile)
 
+    n_t = t_pad // t_tile
     n_out = o_pad // out_tile
     n_in = in_features // in_tile
     out_dtype = out_dtype or x.dtype
@@ -143,33 +148,33 @@ def w8_matmul(
         functools.partial(
             _w8_kernel, n_in_tiles=n_in, tiles_per_group=tiles_per_group
         ),
-        grid=(n_out, n_in),
+        grid=(n_t, n_out, n_in),
         in_specs=[
             pl.BlockSpec(
-                (t_pad, in_tile), lambda i, j: (0, j),
+                (t_tile, in_tile), lambda t, i, j: (t, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (out_tile, in_tile), lambda i, j: (i, j),
+                (out_tile, in_tile), lambda t, i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n_groups, out_tile), lambda i, j: (0, i),
+                (n_groups, out_tile), lambda t, i, j: (0, i),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (t_pad, out_tile), lambda i, j: (0, i),
+            (t_tile, out_tile), lambda t, i, j: (t, i),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((t_pad, out_features), out_dtype),
-        scratch_shapes=[pltpu.VMEM((t_pad, out_tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((t_tile, out_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * o_pad * in_features,
-            bytes_accessed=out_features * in_features
+            bytes_accessed=n_t * out_features * in_features
             + t_pad * in_features * 2
             + t_pad * out_features * 2,
             transcendentals=0,
@@ -323,9 +328,9 @@ def _w4_kernel(
 
     xl/xh: (T, I_T/2) bf16; w_ref: (O_T, I_T/2) int8 (packed);
     s_ref: (S, O_T) bf16, S = in_p/128 (full, sliced per step);
-    o_ref: (T, O_T); acc_ref: (T, O_T) f32.
+    o_ref: (T_T, O_T); acc_ref: (T_T, O_T) f32.
     """
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     # nibble extraction in i32 — Mosaic legalizes vector shifts only
     # at i32 (i8/i16 shifts fail to lower). ~3 VPU ops/nibble is the
@@ -407,11 +412,13 @@ def w4_matmul(
     for d in lead_shape:
         tokens *= d
     x2 = x.reshape(tokens, in_features)
-    t_pad = _round_up(max(tokens, 1), 16)
+    t_tile = min(_round_up(max(tokens, 1), 16), 512)
+    t_pad = _round_up(max(tokens, 1), t_tile)
     if t_pad != tokens:
         x2 = jnp.pad(x2, ((0, t_pad - tokens), (0, 0)))
 
     o_pad = _round_up(out_features, out_tile)
+    n_t = t_pad // t_tile
     n_out = o_pad // out_tile
     n_in = in_features // in_tile
     half = in_tile // 2
@@ -423,33 +430,33 @@ def w4_matmul(
         functools.partial(
             _w4_kernel, n_in_tiles=n_in, s_half=s_half
         ),
-        grid=(n_out, n_in),
+        grid=(n_t, n_out, n_in),
         in_specs=[
             pl.BlockSpec(  # x low half
-                (t_pad, half), lambda i, j: (0, j),
+                (t_tile, half), lambda t, i, j: (t, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(  # x high half
-                (t_pad, half), lambda i, j: (0, j + n_in),
+                (t_tile, half), lambda t, i, j: (t, j + n_in),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(  # packed weights
-                (out_tile, half), lambda i, j: (i, j),
+                (out_tile, half), lambda t, i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(  # scales: all S rows for this out tile
-                (n_scale_rows, out_tile), lambda i, j: (0, i),
+                (n_scale_rows, out_tile), lambda t, i, j: (0, i),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (t_pad, out_tile), lambda i, j: (0, i),
+            (t_tile, out_tile), lambda t, i, j: (t, i),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((t_pad, out_features), out_dtype),
-        scratch_shapes=[pltpu.VMEM((t_pad, out_tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((t_tile, out_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * o_pad * in_features,

@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-seq", type=int, default=2048)
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--quantize-lm-head", action="store_true",
+        help="re-encode the lm_head to int8 (halves its HBM traffic)",
+    )
+    p.add_argument(
+        "--prefix-cache-mb", type=int, default=0,
+        help="enable prefix KV caching with this HBM budget (MiB); "
+        "chat turns sharing a system prompt skip re-prefilling it",
+    )
     return p
 
 
@@ -59,8 +68,19 @@ def _load(args):
         args.model,
         dtype=jnp.bfloat16,
         runtime_format=args.runtime_format,
+        quantize_lm_head=args.quantize_lm_head,
     )
-    gen = Generator(model, max_seq=args.max_seq, dtype=jnp.bfloat16)
+    pc = None
+    if args.prefix_cache_mb > 0:
+        from vptq_tpu.serving.prefix_cache import PrefixCache
+
+        pc = PrefixCache(
+            capacity_bytes=args.prefix_cache_mb * (1 << 20)
+        )
+    gen = Generator(
+        model, max_seq=args.max_seq, dtype=jnp.bfloat16,
+        prefix_cache=pc,
+    )
     return model, gen
 
 
