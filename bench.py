@@ -149,6 +149,10 @@ def main():
     steps = int(args[0]) if args else 256
     metric = "ttft" if "--ttft" in sys.argv else "decode"
     fmt = "int4" if "--int4" in sys.argv else "int8"
+    batch = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
     max_seq = max(512, steps + 8)
 
     rng = np.random.default_rng(0)
@@ -170,8 +174,8 @@ def main():
         )
         return
 
-    cache = init_cache(model.cfg, 1, max_seq, jnp.bfloat16)
-    first = jnp.asarray([1], jnp.int32)
+    cache = init_cache(model.cfg, batch, max_seq, jnp.bfloat16)
+    first = jnp.ones((batch,), jnp.int32)
     key = jax.random.PRNGKey(0)
     temp = jnp.asarray(0.0, jnp.float32)
 
@@ -186,7 +190,7 @@ def main():
     # timed run (recreate cache; decode_loop donates it)
     times = []
     for _ in range(3):
-        cache = init_cache(model.cfg, 1, max_seq, jnp.bfloat16)
+        cache = init_cache(model.cfg, batch, max_seq, jnp.bfloat16)
         t0 = time.time()
         toks, cache = decode_loop(
             model, first, cache, key, temp, steps=steps
@@ -195,12 +199,13 @@ def main():
         times.append(time.time() - t0)
 
     best = min(times)
-    tok_s = steps / best
+    tok_s = steps * batch / best
     print(
         json.dumps(
             {
                 "metric": "llama2_7b_decode_tok_s_1chip"
-                + ("_int4" if fmt == "int4" else ""),
+                + ("_int4" if fmt == "int4" else "")
+                + (f"_b{batch}" if batch > 1 else ""),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
