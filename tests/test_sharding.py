@@ -100,3 +100,67 @@ def test_sharded_decode_loop(ckpt):
         dtype=jnp.float32,
     )
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_sharded_deepseek_matches_single(tmp_path):
+    """MLA attention + DeepSeek MoE under TP (shard_model must handle
+    the non-GQA module types)."""
+    from tests.test_deepseek import DS_CFG, VQ
+
+    write_synthetic_checkpoint(
+        tmp_path, tiny_model_config(**DS_CFG), vq_kwargs=VQ, seed=57
+    )
+    model = load_model(str(tmp_path), dtype=jnp.float32,
+                       runtime_format="int8")
+    tokens = jnp.asarray([[3, 1, 4, 1]], jnp.int32)
+    cache = init_cache(model.cfg, 1, 8, jnp.float32)
+    ref, _ = forward(model, tokens, cache, dtype=jnp.float32)
+
+    mesh = make_mesh(data=1, model=8)
+    with mesh:
+        smodel = shard_model(model, mesh)
+        scache = shard_cache(
+            init_cache(model.cfg, 1, 8, jnp.float32), mesh
+        )
+        step = jax.jit(
+            lambda m, t, c: forward(m, t, c, dtype=jnp.float32)
+        )
+        got, _ = step(smodel, tokens, scache)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_sharded_mixtral_matches_single(tmp_path):
+    write_synthetic_checkpoint(
+        tmp_path,
+        tiny_model_config(
+            model_type="mixtral",
+            num_local_experts=4,
+            num_experts_per_tok=2,
+        ),
+        vq_kwargs=dict(
+            vector_len=4, num_centroids=64, num_res_centroids=16,
+            enable_norm=True, is_indice_packed=True,
+        ),
+        seed=58,
+    )
+    model = load_model(str(tmp_path), dtype=jnp.float32,
+                       runtime_format="int8")
+    tokens = jnp.asarray([[3, 1, 4, 1]], jnp.int32)
+    cache = init_cache(model.cfg, 1, 8, jnp.float32)
+    ref, _ = forward(model, tokens, cache, dtype=jnp.float32)
+
+    mesh = make_mesh(data=1, model=8)
+    with mesh:
+        smodel = shard_model(model, mesh)
+        scache = shard_cache(
+            init_cache(model.cfg, 1, 8, jnp.float32), mesh
+        )
+        step = jax.jit(
+            lambda m, t, c: forward(m, t, c, dtype=jnp.float32)
+        )
+        got, _ = step(smodel, tokens, scache)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

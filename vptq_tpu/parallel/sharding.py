@@ -29,7 +29,9 @@ from vptq_tpu.layers.vqlinear import VQLinear
 from vptq_tpu.models.llama import (
     Attention,
     Block,
+    DeepseekMoe,
     KVCache,
+    MlaAttention,
     Mlp,
     MoeMlp,
     Model,
@@ -153,46 +155,74 @@ def _shard_linear(layer, mesh: Mesh, col_parallel: bool):
     )
 
 
+def _shard_mlp_dense(mlp, mesh):
+    return Mlp(
+        gate_proj=_shard_linear(mlp.gate_proj, mesh, True),
+        up_proj=_shard_linear(mlp.up_proj, mesh, True),
+        down_proj=_shard_linear(mlp.down_proj, mesh, False),
+        gate_up_proj=_shard_linear(mlp.gate_up_proj, mesh, True),
+    )
+
+
 def shard_model(model: Model, mesh: Mesh) -> Model:
-    """Place every parameter with its TP PartitionSpec."""
+    """Place every parameter with its TP PartitionSpec.
+
+    MoE ``stacked`` fast-path weights are dropped under TP (the
+    selected-experts kernel is single-device; sharded MoE runs the
+    dense all-experts path — expert-parallel dispatch is future work).
+    """
     blocks = []
     for block in model.blocks:
-        attn = Attention(
-            q_proj=_shard_linear(block.attn.q_proj, mesh, True),
-            k_proj=_shard_linear(block.attn.k_proj, mesh, True),
-            v_proj=_shard_linear(block.attn.v_proj, mesh, True),
-            o_proj=_shard_linear(block.attn.o_proj, mesh, False),
-            qkv_proj=_shard_linear(block.attn.qkv_proj, mesh, True),
-        )
+        if isinstance(block.attn, MlaAttention):
+            a = block.attn
+            attn = MlaAttention(
+                kv_a_proj=_shard_linear(a.kv_a_proj, mesh, False),
+                kv_a_norm=_put(a.kv_a_norm, mesh, P()),
+                kv_b_proj=_shard_linear(a.kv_b_proj, mesh, True),
+                o_proj=_shard_linear(a.o_proj, mesh, False),
+                q_proj=_shard_linear(a.q_proj, mesh, True),
+                q_a_proj=_shard_linear(a.q_a_proj, mesh, False),
+                q_a_norm=_put(a.q_a_norm, mesh, P()),
+                q_b_proj=_shard_linear(a.q_b_proj, mesh, True),
+            )
+        else:
+            attn = Attention(
+                q_proj=_shard_linear(block.attn.q_proj, mesh, True),
+                k_proj=_shard_linear(block.attn.k_proj, mesh, True),
+                v_proj=_shard_linear(block.attn.v_proj, mesh, True),
+                o_proj=_shard_linear(block.attn.o_proj, mesh, False),
+                qkv_proj=_shard_linear(
+                    block.attn.qkv_proj, mesh, True
+                ),
+            )
         if isinstance(block.mlp, MoeMlp):
             mlp = MoeMlp(
                 router=_shard_linear(block.mlp.router, mesh, True),
                 experts=tuple(
-                    Mlp(
-                        gate_proj=_shard_linear(e.gate_proj, mesh, True),
-                        up_proj=_shard_linear(e.up_proj, mesh, True),
-                        down_proj=_shard_linear(
-                            e.down_proj, mesh, False
-                        ),
-                        gate_up_proj=_shard_linear(
-                            e.gate_up_proj, mesh, True
-                        ),
-                    )
+                    _shard_mlp_dense(e, mesh)
                     for e in block.mlp.experts
                 ),
                 num_experts_per_tok=block.mlp.num_experts_per_tok,
             )
-        else:
-            mlp = Mlp(
-                gate_proj=_shard_linear(block.mlp.gate_proj, mesh, True),
-                up_proj=_shard_linear(block.mlp.up_proj, mesh, True),
-                down_proj=_shard_linear(
-                    block.mlp.down_proj, mesh, False
+        elif isinstance(block.mlp, DeepseekMoe):
+            m = block.mlp
+            mlp = DeepseekMoe(
+                router_weight=_put(m.router_weight, mesh, P()),
+                correction_bias=_put(m.correction_bias, mesh, P()),
+                experts=tuple(
+                    _shard_mlp_dense(e, mesh) for e in m.experts
                 ),
-                gate_up_proj=_shard_linear(
-                    block.mlp.gate_up_proj, mesh, True
+                shared_experts=_shard_mlp_dense(
+                    m.shared_experts, mesh
                 ),
+                top_k=m.top_k,
+                n_group=m.n_group,
+                topk_group=m.topk_group,
+                norm_topk_prob=m.norm_topk_prob,
+                routed_scaling_factor=m.routed_scaling_factor,
             )
+        else:
+            mlp = _shard_mlp_dense(block.mlp, mesh)
         blocks.append(
             Block(
                 input_layernorm=_put(block.input_layernorm, mesh, P()),
