@@ -133,3 +133,40 @@ def test_wrapper_prefix_checkpoints(tmp_path):
         np.testing.assert_array_equal(
             state4[f"0.auto_model.{k}"], v
         )
+
+
+def test_legacy_pytorch_bin_checkpoint(tmp_path):
+    """Loader parity with the reference's legacy *.bin read path
+    (reference model_base.py:146-163)."""
+    import shutil
+
+    import torch
+
+    from vptq_tpu.models.llama import forward, init_cache
+
+    src = tmp_path / "st"
+    write_synthetic_checkpoint(src, tiny_model_config(), vq_kwargs=VQ,
+                               seed=63)
+    ref_model = load_model(str(src), dtype=jnp.float32)
+
+    # convert to a legacy bin checkpoint
+    state, config = load_raw_state(str(src))
+    dst = tmp_path / "bin"
+    dst.mkdir()
+    shutil.copy(src / "config.json", dst / "config.json")
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in state.items()},
+        dst / "pytorch_model.bin",
+    )
+    bin_model = load_model(str(dst), dtype=jnp.float32)
+
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    la, _ = forward(ref_model, tokens, init_cache(ref_model.cfg, 1, 8,
+                                                  jnp.float32),
+                    dtype=jnp.float32)
+    lb, _ = forward(bin_model, tokens, init_cache(bin_model.cfg, 1, 8,
+                                                  jnp.float32),
+                    dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-6, atol=1e-6)

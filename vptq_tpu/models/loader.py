@@ -100,10 +100,14 @@ def _read_safetensors(path: Path) -> Dict[str, np.ndarray]:
 
 
 def load_state_dict(checkpoint_dir: str) -> Dict[str, np.ndarray]:
-    """Read all safetensors shards (handles ``*.index.json`` maps) as
-    host numpy arrays."""
+    """Read all checkpoint shards as host numpy arrays.
+
+    Safetensors first (with ``*.index.json`` shard maps); falls back
+    to legacy torch ``pytorch_model*.bin`` pickles — parity with the
+    reference loader, which handles both (model_base.py:146-163).
+    """
     root = Path(checkpoint_dir)
-    index_files = sorted(root.glob("*.index.json"))
+    index_files = sorted(root.glob("*.safetensors.index.json"))
     if index_files:
         with open(index_files[0]) as f:
             weight_map = json.load(f)["weight_map"]
@@ -111,11 +115,44 @@ def load_state_dict(checkpoint_dir: str) -> Dict[str, np.ndarray]:
     else:
         shards = sorted(root.glob("*.safetensors"))
     if not shards:
-        raise FileNotFoundError(f"no safetensors found in {root}")
+        return _load_torch_bins(root)
 
     state: Dict[str, np.ndarray] = {}
     for shard in shards:
         state.update(_read_safetensors(shard))
+    return state
+
+
+def _load_torch_bins(root: Path) -> Dict[str, np.ndarray]:
+    """Legacy ``pytorch_model.bin`` (+ ``.bin.index.json``) reader."""
+    index_files = sorted(root.glob("*.bin.index.json"))
+    if index_files:
+        with open(index_files[0]) as f:
+            weight_map = json.load(f)["weight_map"]
+        shards = sorted({root / v for v in weight_map.values()})
+    else:
+        shards = sorted(root.glob("pytorch_model*.bin"))
+    if not shards:
+        raise FileNotFoundError(
+            f"no safetensors or pytorch_model*.bin found in {root}"
+        )
+    import torch
+
+    state: Dict[str, np.ndarray] = {}
+    for shard in shards:
+        sd = torch.load(
+            shard, map_location="cpu", weights_only=True
+        )
+        for k, v in sd.items():
+            if v.dtype == torch.bfloat16:
+                state[k] = v.view(torch.uint16).numpy()
+                # preserved as raw uint16 bits; loader dtype handling
+                # views them back (same trick as safetensors bf16)
+                import ml_dtypes
+
+                state[k] = state[k].view(ml_dtypes.bfloat16)
+            else:
+                state[k] = v.numpy()
     return state
 
 
