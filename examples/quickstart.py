@@ -5,8 +5,12 @@ community on-disk format first (random weights), then runs the full
 pipeline: ingestion -> int8 runtime re-encode -> on-device decode.
 """
 
+import os
 import sys
 import tempfile
+
+# runnable straight from a source checkout, without pip install
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 

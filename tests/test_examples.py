@@ -1,0 +1,26 @@
+"""Shipped examples stay runnable.
+
+Runs examples/quickstart.py as a subprocess on the CPU mesh (it builds
+its own synthetic checkpoint) so the documented quickstart path can't
+rot silently.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_quickstart_runs():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "quickstart.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "generated:" in proc.stdout
