@@ -149,6 +149,78 @@ void vptq_dequant(const float* centroids, const uint16_t* ids,
   });
 }
 
+namespace {
+
+// Round f32 to nearest-even bf16, returned widened back to f32 — the
+// int4 scale storage dtype (must match ops/packing.py _bf16_rne).
+inline float bf16_rne(float x) {
+  uint32_t u;
+  std::memcpy(&u, &x, 4);
+  uint32_t lsb = (u >> 16) & 1u;
+  u += 0x7fffu + lsb;
+  u &= 0xffff0000u;
+  float y;
+  std::memcpy(&y, &u, 4);
+  return y;
+}
+
+// Scale-search grid; must match ops/packing.py INT4_SCALE_CANDIDATES.
+constexpr int kNumInt4Candidates = 8;
+
+}  // namespace
+
+// Symmetric per-(row, group) int4 quantization with MSE-optimal scale
+// search (same semantics as ops/packing.py quantize_int4 with
+// optimize=true; the numpy version is the oracle).
+//   w: f32 (rows, cols) with cols % group == 0
+//   q: int8 in [-7,7] (rows, cols); scales: f32 (rows, cols/group)
+void vptq_int4_quant(const float* w, int64_t rows, int64_t cols,
+                     int64_t group, int optimize, int8_t* q,
+                     float* scales) {
+  const int64_t n_groups = cols / group;
+  parallel_for(rows, [=](int64_t begin, int64_t end) {
+    for (int64_t r = begin; r < end; ++r) {
+      const float* wr = w + r * cols;
+      int8_t* qr = q + r * cols;
+      float* sr = scales + r * n_groups;
+      for (int64_t gidx = 0; gidx < n_groups; ++gidx) {
+        const float* wg = wr + gidx * group;
+        int8_t* qg = qr + gidx * group;
+        float amax = 0.f;
+        for (int64_t i = 0; i < group; ++i)
+          amax = std::max(amax, std::fabs(wg[i]));
+        const float base = amax > 0.f ? amax / 7.f : 1.f;
+        float best_s = bf16_rne(base);
+        float best_err = -1.f;
+        const int n_cand = optimize ? kNumInt4Candidates : 1;
+        for (int c = 0; c < n_cand; ++c) {
+          const float f = 1.f - 0.05f * static_cast<float>(c);
+          const float s = bf16_rne(base * f);
+          const float inv = 1.f / s;
+          float err = 0.f;
+          for (int64_t i = 0; i < group; ++i) {
+            float v = std::nearbyint(wg[i] * inv);
+            v = std::max(-7.f, std::min(7.f, v));
+            const float d = wg[i] - v * s;
+            err += d * d;
+          }
+          if (best_err < 0.f || err < best_err) {
+            best_err = err;
+            best_s = s;
+          }
+        }
+        sr[gidx] = best_s;
+        const float inv = 1.f / best_s;
+        for (int64_t i = 0; i < group; ++i) {
+          float v = std::nearbyint(wg[i] * inv);
+          v = std::max(-7.f, std::min(7.f, v));
+          qg[i] = static_cast<int8_t>(v);
+        }
+      }
+    }
+  });
+}
+
 // Symmetric per-(row, group) int8 quantization.
 //   w: f32 (rows, cols) with cols % group == 0
 //   q: int8 (rows, cols); scales: f32 (rows, cols/group)

@@ -348,16 +348,31 @@ def dense_to_int8(
 
 
 def _encode_int4(w, bias) -> Int4Linear:
-    """f32 (out, in) numpy weight → packed Int4Linear (pads in to 512)."""
+    """f32 (out, in) numpy weight → packed Int4Linear.
+
+    Pads in_features to the kernel in_tile (2048) — see Int4Linear.
+    The scale for each (row, 128-col) group is picked by an MSE-optimal
+    grid search (ops.packing.quantize_int4 / native vptq_int4_quant).
+    """
     import numpy as np
 
+    from vptq_tpu import native
     from vptq_tpu.ops.packing import pack_int4, quantize_int4
 
-    # pad in_features to the kernel in_tile (2048) — see Int4Linear
     pad = (-w.shape[1]) % 2048
     if pad:
         w = np.pad(w, ((0, 0), (0, pad)))
-    q, scale = quantize_int4(w)
+    got = (
+        native.int4_group_quant(
+            np.ascontiguousarray(w, np.float32), 128
+        )
+        if native.available()
+        else None
+    )
+    if got is not None:
+        q, scale = got
+    else:
+        q, scale = quantize_int4(w)
     return Int4Linear(
         wq=jnp.asarray(pack_int4(q)),
         scales=jnp.asarray(

@@ -125,13 +125,21 @@ class PrefixCache:
                 continue
             k_blk = jax.lax.slice_in_dim(k, lo, hi, axis=1)
             v_blk = jax.lax.slice_in_dim(v, lo, hi, axis=1)
-            nbytes = 2 * k_blk.size * k_blk.dtype.itemsize
+            # K and V blocks can differ in size (MLA: qk_head_dim !=
+            # v_head_dim) — account each separately
+            nbytes = (
+                k_blk.size * k_blk.dtype.itemsize
+                + v_blk.size * v_blk.dtype.itemsize
+            )
             while (
                 self._bytes + nbytes > self.capacity_bytes
                 and self._store
             ):
                 _, (ek, ev) = self._store.popitem(last=False)
-                self._bytes -= 2 * ek.size * ek.dtype.itemsize
+                self._bytes -= (
+                    ek.size * ek.dtype.itemsize
+                    + ev.size * ev.dtype.itemsize
+                )
             if self._bytes + nbytes > self.capacity_bytes:
                 return  # single block larger than the budget
             self._store[key] = (k_blk, v_blk)
