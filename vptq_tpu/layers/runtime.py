@@ -591,25 +591,31 @@ def fuse_model(model):
                 )
         if isinstance(mlp, MoeMlp):
             experts = tuple(_fuse_expert(e) for e in mlp.experts)
+            stacked = stack_experts(experts)
+            # stacked built => drop the per-expert copies so expert
+            # weights exist ONCE in HBM (both the dense all-experts
+            # path and the selected-experts fast path read the
+            # stacked arrays)
             mlp = MoeMlp(
                 router=mlp.router,
-                experts=experts,
+                experts=() if stacked is not None else experts,
                 num_experts_per_tok=mlp.num_experts_per_tok,
-                stacked=stack_experts(experts),
+                stacked=stacked,
             )
         elif isinstance(mlp, DeepseekMoe):
             experts = tuple(_fuse_expert(e) for e in mlp.experts)
+            stacked = stack_experts(experts)
             mlp = DeepseekMoe(
                 router_weight=mlp.router_weight,
                 correction_bias=mlp.correction_bias,
-                experts=experts,
+                experts=() if stacked is not None else experts,
                 shared_experts=_fuse_expert(mlp.shared_experts),
                 top_k=mlp.top_k,
                 n_group=mlp.n_group,
                 topk_group=mlp.topk_group,
                 norm_topk_prob=mlp.norm_topk_prob,
                 routed_scaling_factor=mlp.routed_scaling_factor,
-                stacked=stack_experts(experts),
+                stacked=stacked,
             )
         blocks.append(
             Block(

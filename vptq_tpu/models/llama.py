@@ -335,6 +335,14 @@ class MoeMlp:
     gather/scatter routing and shape-static for XLA. Decode with few
     tokens takes the selected-experts fast path when ``stacked`` is
     present (see :class:`StackedExperts`).
+
+    ``experts`` may be empty when ``stacked`` is present —
+    ``runtime.fuse_model`` drops the per-expert copies so expert
+    weights exist ONCE in HBM; both prefill and decode then read the
+    stacked arrays. ``ep_mesh``/``ep_axis`` (set by
+    ``parallel.shard_model``) switch the forward to expert-parallel
+    dispatch: stacked weights sharded over the mesh axis, each device
+    computing only its local experts, outputs psum-combined.
     """
 
     router: Linear  # hidden -> num_experts
@@ -343,6 +351,10 @@ class MoeMlp:
         pytree_node=False, default=2
     )
     stacked: Optional[StackedExperts] = None
+    ep_mesh: Optional[Any] = struct.field(
+        pytree_node=False, default=None
+    )
+    ep_axis: str = struct.field(pytree_node=False, default="model")
 
 
 @struct.dataclass
@@ -382,6 +394,10 @@ class DeepseekMoe:
         pytree_node=False, default=1.0
     )
     stacked: Optional[StackedExperts] = None
+    ep_mesh: Optional[Any] = struct.field(
+        pytree_node=False, default=None
+    )
+    ep_axis: str = struct.field(pytree_node=False, default="model")
 
 
 @struct.dataclass
@@ -779,41 +795,43 @@ def _deepseek_moe(moe: DeepseekMoe, x: jnp.ndarray) -> jnp.ndarray:
         )
     top_w = top_w * moe.routed_scaling_factor
 
-    n_tokens = 1
-    for d in lead:
-        n_tokens *= d
-    if moe.stacked is not None and n_tokens <= _MOE_FAST_MAX_TOKENS:
-        routed = _moe_fast(moe.stacked, x, top_ids, top_w)
-        return routed + _mlp(moe.shared_experts, x)
-
-    mix = jnp.sum(
-        jax.nn.one_hot(top_ids, num_experts, dtype=jnp.float32)
-        * top_w[..., None],
-        axis=-2,
-    )  # (..., E)
-    out = jnp.zeros_like(x, dtype=jnp.float32)
-    for e, expert in enumerate(moe.experts):
-        out = out + mix[..., e: e + 1] * _mlp(expert, x).astype(
-            jnp.float32
-        )
-    out = out.astype(x.dtype) + _mlp(moe.shared_experts, x)
-    return out
+    routed = _route_moe(
+        x, top_ids, top_w, num_experts,
+        moe.experts, moe.stacked, moe.ep_mesh, moe.ep_axis,
+    )
+    return routed + _mlp(moe.shared_experts, x)
 
 
 # decode fast path engages when the (static) token count is at most
-# this — each token costs k expert matmuls, so large batches are
-# better served by the dense all-experts path
-_MOE_FAST_MAX_TOKENS = 8
+# this — each token reads k experts' bytes, so batches where
+# n_tokens * k approaches E are better served by the dense
+# all-experts path (which reads each expert once).
+_MOE_FAST_MAX_TOKENS = 64
+
+# token-tile bound for the per-expert matmul: the expert kernels hold
+# a full token tile of x + f32 accumulator + out in VMEM, so larger
+# prefills are chunked here (ADVICE r1: guard inside the wrapper).
+_EXPERT_MATMUL_MAX_TOKENS = 512
 
 
 def _expert_matmul(x2, wq, scales, e, fmt="int8"):
     """(T, in) @ expert e of stacked (E, out, in[/2]) quantized
-    weights (int8 or packed-nibble int4)."""
+    weights (int8 or packed-nibble int4). Chunks the token dim at
+    ``_EXPERT_MATMUL_MAX_TOKENS`` to bound kernel VMEM."""
     from vptq_tpu.ops.quant_matmul import use_pallas
 
     in_p = wq.shape[2] * (2 if fmt == "int4" else 1)
     if x2.shape[-1] != in_p:
         x2 = jnp.pad(x2, ((0, 0), (0, in_p - x2.shape[-1])))
+    if x2.shape[0] > _EXPERT_MATMUL_MAX_TOKENS:
+        step = _EXPERT_MATMUL_MAX_TOKENS
+        return jnp.concatenate(
+            [
+                _expert_matmul(x2[i: i + step], wq, scales, e, fmt)
+                for i in range(0, x2.shape[0], step)
+            ],
+            axis=0,
+        )
     out_f = wq.shape[1]
     ot = 1024 if out_f >= 1024 else (512 if out_f >= 512 else 256)
     if use_pallas():
@@ -856,45 +874,176 @@ def _expert_matmul(x2, wq, scales, e, fmt="int8"):
     ).astype(x2.dtype)
 
 
+def _pairs_matmul(x_pairs, wq, scales, experts, fmt="int8"):
+    """(P, in) activation rows through their per-pair experts of a
+    stacked (E, out, in[/2]) weight — ONE kernel dispatch for all
+    (token, top-k) pairs of a MoE step (w8/w4_matmul_pairs)."""
+    from vptq_tpu.ops.quant_matmul import use_pallas
+
+    in_p = wq.shape[2] * (2 if fmt == "int4" else 1)
+    if x_pairs.shape[-1] != in_p:
+        x_pairs = jnp.pad(
+            x_pairs, ((0, 0), (0, in_p - x_pairs.shape[-1]))
+        )
+    out_f = wq.shape[1]
+    ot = 1024 if out_f >= 1024 else (512 if out_f >= 512 else 256)
+    if use_pallas():
+        if fmt == "int4":
+            from vptq_tpu.ops.pallas_gemm import w4_matmul_pairs
+
+            return w4_matmul_pairs(
+                x_pairs, wq, scales, experts,
+                out_tile=ot, in_tile=2048,
+            )
+        from vptq_tpu.ops.pallas_gemm import w8_matmul_pairs
+
+        group = in_p // scales.shape[1]
+        in_tile = group
+        for cand in (2048, 1024, 512):
+            if cand <= group and group % cand == 0:
+                in_tile = cand
+                break
+        return w8_matmul_pairs(
+            x_pairs, wq, scales, experts, out_tile=ot, in_tile=in_tile
+        )
+    # XLA fallback: gather per-pair expert weights, dequant, batch dot
+    w_e = jnp.take(wq, experts, axis=0)  # (P, out, in[/2])
+    s_e = jnp.take(scales, experts, axis=0)  # (P, G, out)
+    n_pairs = w_e.shape[0]
+    if fmt == "int4":
+        lo = jnp.right_shift(jnp.left_shift(w_e, 4), 4)
+        hi = jnp.right_shift(w_e, 4)
+        q = jnp.concatenate([lo, hi], axis=2)
+        w = (
+            q.astype(jnp.float32).reshape(n_pairs, out_f, -1, 128)
+            * s_e.astype(jnp.float32).transpose(0, 2, 1)[:, :, :, None]
+        ).reshape(n_pairs, out_f, in_p)
+    else:
+        group = in_p // s_e.shape[1]
+        w = (
+            w_e.astype(jnp.float32).reshape(n_pairs, out_f, -1, group)
+            * s_e.transpose(0, 2, 1)[:, :, :, None]
+        ).reshape(n_pairs, out_f, in_p)
+    out = jnp.einsum(
+        "pi,poi->po", x_pairs.astype(jnp.float32), w
+    )
+    return out.astype(x_pairs.dtype)
+
+
 def _moe_fast(
     stacked: StackedExperts,
     x: jnp.ndarray,  # (..., hidden)
     top_ids: jnp.ndarray,  # (..., k) int32
     top_w: jnp.ndarray,  # (..., k) f32
 ) -> jnp.ndarray:
-    """Selected-experts evaluation: k expert MLPs per token."""
+    """Selected-experts evaluation, batched over (token, k) pairs.
+
+    All n*k pairs flow through TWO kernel dispatches (gate_up + down),
+    each pair DMAing only its expert's bytes — trace size and dispatch
+    count are O(1) in batch (the round-1 version looped Python-per-pair
+    and was capped at 8 tokens)."""
     lead = x.shape[:-1]
     hidden = x.shape[-1]
     n = 1
     for d in lead:
         n *= d
+    k = top_ids.shape[-1]
     xf = x.reshape(n, hidden)
-    ids = top_ids.reshape(n, -1)
-    ws = top_w.reshape(n, -1)
-    k = ids.shape[1]
+    ids = top_ids.reshape(n * k).astype(jnp.int32)
+    ws = top_w.reshape(n, k)
+    x_pairs = jnp.repeat(xf, k, axis=0)  # (n*k, hidden)
     inter2 = stacked.gate_up_wq.shape[1]
 
-    outs = []
-    for t in range(n):
-        acc = jnp.zeros((hidden,), jnp.float32)
-        xt = xf[t: t + 1]
-        for j in range(k):
-            e = ids[t, j].astype(jnp.int32)
-            gu = _expert_matmul(
-                xt, stacked.gate_up_wq, stacked.gate_up_scales, e,
-                stacked.fmt,
-            )
-            gate, up = jnp.split(gu[:, :inter2], 2, axis=-1)
-            h = jax.nn.silu(gate) * up
-            d = _expert_matmul(
-                h, stacked.down_wq, stacked.down_scales, e,
-                stacked.fmt,
-            )
-            acc = acc + ws[t, j].astype(jnp.float32) * d[0].astype(
+    gu = _pairs_matmul(
+        x_pairs, stacked.gate_up_wq, stacked.gate_up_scales, ids,
+        stacked.fmt,
+    )
+    gate, up = jnp.split(gu[:, :inter2], 2, axis=-1)
+    h = jax.nn.silu(gate) * up
+    down = _pairs_matmul(
+        h, stacked.down_wq, stacked.down_scales, ids, stacked.fmt
+    )  # (n*k, hidden)
+    out = jnp.sum(
+        down.reshape(n, k, hidden).astype(jnp.float32)
+        * ws[..., None].astype(jnp.float32),
+        axis=1,
+    )
+    return out.reshape(*lead, hidden).astype(x.dtype)
+
+
+def _stacked_expert_mlp(stacked, x2, e):
+    """One expert's SwiGLU MLP on (T, hidden) rows from the stacked
+    weights (the all-experts dense path — expert weights exist once)."""
+    inter2 = stacked.gate_up_wq.shape[1]
+    gu = _expert_matmul(
+        x2, stacked.gate_up_wq, stacked.gate_up_scales, e, stacked.fmt
+    )
+    gate, up = jnp.split(gu[:, :inter2], 2, axis=-1)
+    h = jax.nn.silu(gate) * up
+    return _expert_matmul(
+        h, stacked.down_wq, stacked.down_scales, e, stacked.fmt
+    )
+
+
+def _moe_dense_mix(moe_experts, stacked, x, mix):
+    """Dense all-experts evaluation mixed by (..., E) routing weights.
+
+    Uses the per-expert modules when present, else the stacked arrays
+    (``fuse_model`` drops per-expert copies to halve MoE HBM)."""
+    if moe_experts:
+        out = jnp.zeros_like(x, dtype=jnp.float32)
+        for e, expert in enumerate(moe_experts):
+            out = out + mix[..., e: e + 1] * _mlp(expert, x).astype(
                 jnp.float32
             )
-        outs.append(acc)
-    return jnp.stack(outs).reshape(*lead, hidden).astype(x.dtype)
+        return out
+    lead = x.shape[:-1]
+    hidden = x.shape[-1]
+    x2 = x.reshape(-1, hidden)
+    mix2 = mix.reshape(-1, mix.shape[-1]).astype(jnp.float32)
+    n_experts = stacked.gate_up_wq.shape[0]
+    out = jnp.zeros((x2.shape[0], hidden), jnp.float32)
+    for e in range(n_experts):
+        d = _stacked_expert_mlp(
+            stacked, x2, jnp.asarray(e, jnp.int32)
+        )[:, :hidden]
+        out = out + mix2[:, e: e + 1] * d.astype(jnp.float32)
+    return out.reshape(*lead, hidden)
+
+
+def _route_moe(
+    x: jnp.ndarray,  # (..., hidden)
+    top_ids: jnp.ndarray,  # (..., k) int32
+    top_w: jnp.ndarray,  # (..., k) f32
+    num_experts: int,
+    experts: Tuple[Mlp, ...],
+    stacked: Optional[StackedExperts],
+    ep_mesh,
+    ep_axis: str,
+) -> jnp.ndarray:
+    """Dispatch routed tokens to experts (shared by Mixtral/DeepSeek).
+
+    Expert-parallel when ``ep_mesh`` is set (each device holds E/D
+    experts, psum combine); else selected-experts fast path for small
+    token counts, dense all-experts otherwise."""
+    if ep_mesh is not None and stacked is not None:
+        from vptq_tpu.parallel.expert_parallel import moe_forward_ep
+
+        return moe_forward_ep(
+            stacked, x, top_ids, top_w, num_experts, ep_mesh, ep_axis
+        ).astype(x.dtype)
+    n_tokens = 1
+    for d in x.shape[:-1]:
+        n_tokens *= d
+    if stacked is not None and n_tokens <= _MOE_FAST_MAX_TOKENS:
+        return _moe_fast(stacked, x, top_ids, top_w)
+    # scatter normalized weights back to a dense (..., E) mix tensor
+    mix = jnp.sum(
+        jax.nn.one_hot(top_ids, num_experts, dtype=jnp.float32)
+        * top_w[..., None].astype(jnp.float32),
+        axis=-2,
+    )
+    return _moe_dense_mix(experts, stacked, x, mix).astype(x.dtype)
 
 
 def _moe_mlp(moe: MoeMlp, x: jnp.ndarray) -> jnp.ndarray:
@@ -903,24 +1052,15 @@ def _moe_mlp(moe: MoeMlp, x: jnp.ndarray) -> jnp.ndarray:
     k = moe.num_experts_per_tok
     top_w, top_ids = jax.lax.top_k(logits, k)
     top_w = jax.nn.softmax(top_w, axis=-1)  # normalize over top-k
-    n_tokens = 1
-    for d in x.shape[:-1]:
-        n_tokens *= d
-    if moe.stacked is not None and n_tokens <= _MOE_FAST_MAX_TOKENS:
-        return _moe_fast(moe.stacked, x, top_ids, top_w)
-    num_experts = len(moe.experts)
-    # scatter normalized weights back to a dense (..., E) mix tensor
-    mix = jnp.sum(
-        jax.nn.one_hot(top_ids, num_experts, dtype=jnp.float32)
-        * top_w[..., None],
-        axis=-2,
+    num_experts = (
+        len(moe.experts)
+        if moe.experts
+        else moe.stacked.gate_up_wq.shape[0]
     )
-    out = jnp.zeros_like(x, dtype=jnp.float32)
-    for e, expert in enumerate(moe.experts):
-        out = out + mix[..., e: e + 1] * _mlp(expert, x).astype(
-            jnp.float32
-        )
-    return out.astype(x.dtype)
+    return _route_moe(
+        x, top_ids, top_w, num_experts,
+        moe.experts, moe.stacked, moe.ep_mesh, moe.ep_axis,
+    )
 
 
 def _mlp(mlp, x: jnp.ndarray) -> jnp.ndarray:

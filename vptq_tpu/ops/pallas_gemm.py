@@ -38,7 +38,9 @@ def _interpret() -> bool:
 __all__ = [
     "w8_matmul",
     "w8_matmul_expert",
+    "w8_matmul_pairs",
     "w4_matmul",
+    "w4_matmul_pairs",
     "bf16_matmul",
 ]
 
@@ -306,6 +308,133 @@ def w8_matmul_expert(
 
     out = out[:tokens, :out_features]
     return out.reshape(*lead_shape, out_features).astype(out_dtype)
+
+
+def _w8p_kernel(
+    e_ref, x_ref, w_ref, s_ref, o_ref, acc_ref,
+    *, n_in_tiles: int, tiles_per_group: int,
+):
+    """w8 grid step for ONE (token, expert) pair of a batched MoE
+    dispatch (grid dim 0 = pair index).
+
+    The pair's expert id arrives via scalar prefetch and drives the
+    weight/scale block index maps — each pair DMAs only its own
+    expert's tiles. One kernel call covers ALL (token, top-k) pairs of
+    a decode step, replacing the per-pair kernel dispatches of the
+    round-1 ``_moe_fast`` Python loop (trace size O(1) vs O(n*k)).
+
+    x_ref: (1, 8, I_T) bf16 — the pair's activation row, broadcast to
+    the 8-sublane tile Mosaic requires (sublanes 1-7 are padding);
+    w_ref: (1, O_T, I_T) int8; s_ref: (1, n_groups, O_T) f32;
+    o_ref: (1, 8, O_T); acc_ref: (8, O_T) f32.
+    """
+    j = pl.program_id(2)
+
+    w = w_ref[0].astype(jnp.bfloat16)
+    part = jax.lax.dot_general(
+        x_ref[0],
+        w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    part = part * s_ref[0, j // tiles_per_group, :][None, :]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(j == n_in_tiles - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_tile", "in_tile", "out_dtype")
+)
+def w8_matmul_pairs(
+    x: jnp.ndarray,  # (P, IN) — one activation row per (token, k) pair
+    wq: jnp.ndarray,  # (E, OUT, IN) int8 — stacked experts
+    scales: jnp.ndarray,  # (E, IN // group, OUT) f32
+    experts: jnp.ndarray,  # (P,) int32 — expert id per pair
+    *,
+    out_tile: int = 512,
+    in_tile: int = 2048,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Per-pair expert matmul: ``out[p] = x[p] @ (s[e_p] ⊙ wq[e_p])^T``.
+
+    The batched MoE decode hot path: every (token, top-k) pair reads
+    exactly its expert's bytes from HBM, in one kernel dispatch.
+    """
+    n_experts, out_features, in_features = wq.shape
+    if in_features % in_tile:
+        raise ValueError(f"in_features {in_features} % {in_tile} != 0")
+    n_groups = scales.shape[1]
+    if scales.shape != (n_experts, n_groups, out_features) or (
+        in_features % n_groups
+    ):
+        raise ValueError(f"scales shape {scales.shape} mismatch")
+    group = in_features // n_groups
+    if group % in_tile:
+        raise ValueError(
+            f"scale group {group} must be a multiple of in_tile {in_tile}"
+        )
+    tiles_per_group = group // in_tile
+
+    n_pairs = x.shape[0]
+    # (P, 8, IN): Mosaic needs 8-divisible (or full) sublane blocks, so
+    # each pair's row is broadcast onto an 8-sublane tile (decode MXU
+    # utilization is irrelevant — the op is weight-bandwidth-bound)
+    x3 = jnp.broadcast_to(
+        x.astype(jnp.bfloat16)[:, None, :], (n_pairs, 8, in_features)
+    )
+
+    o_pad = _round_up(out_features, out_tile)
+    n_out = o_pad // out_tile
+    n_in = in_features // in_tile
+    out_dtype = out_dtype or x.dtype
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w8p_kernel,
+            n_in_tiles=n_in,
+            tiles_per_group=tiles_per_group,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_pairs, n_out, n_in),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, in_tile), lambda p, i, j, e: (p, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, out_tile, in_tile),
+                    lambda p, i, j, e: (e[p], i, j),
+                ),
+                pl.BlockSpec(
+                    (1, n_groups, out_tile),
+                    lambda p, i, j, e: (e[p], 0, i),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, out_tile), lambda p, i, j, e: (p, 0, i)
+            ),
+            scratch_shapes=[pltpu.VMEM((8, out_tile), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pairs, 8, out_features), out_dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(experts.astype(jnp.int32), x3, wq, scales)
+
+    return out[:, 0, :]
 
 
 W4_GROUP = 128  # int4 scale-group width along in_features
@@ -614,6 +743,143 @@ def w4_matmul_expert(
 
     out = out[:tokens, :out_features]
     return out.reshape(*lead_shape, out_features).astype(out_dtype)
+
+
+def _w4p_kernel(
+    e_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, acc_ref,
+    *, n_in_tiles: int, s_half: int,
+):
+    """int4 grid step for ONE (token, expert) pair (see _w8p_kernel;
+    nibble layout and scale slicing as in _w4e_kernel)."""
+    j = pl.program_id(2)
+
+    w = w_ref[0].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w, 28), 28)
+    hi = jnp.right_shift(w, 4)
+
+    n_scale_rows = s_ref.shape[1]
+    sl = s_ref[0, pl.ds(j * s_half, s_half), :]
+    sh = s_ref[0, pl.ds(n_scale_rows // 2 + j * s_half, s_half), :]
+
+    dims = (((1,), (1,)), ((), ()))
+    part = jnp.zeros(acc_ref.shape, jnp.float32)
+    for sub in range(s_half):
+        c0, c1 = sub * W4_GROUP, (sub + 1) * W4_GROUP
+        pl_ = jax.lax.dot_general(
+            xl_ref[0][:, c0:c1], lo[:, c0:c1].astype(jnp.bfloat16),
+            dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        ph_ = jax.lax.dot_general(
+            xh_ref[0][:, c0:c1], hi[:, c0:c1].astype(jnp.bfloat16),
+            dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        part = part + pl_ * sl[sub, :].astype(jnp.float32)[None, :]
+        part = part + ph_ * sh[sub, :].astype(jnp.float32)[None, :]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(j == n_in_tiles - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_tile", "in_tile", "out_dtype")
+)
+def w4_matmul_pairs(
+    x: jnp.ndarray,  # (P, IN)
+    wq: jnp.ndarray,  # (E, OUT, IN // 2) int8 — stacked packed nibbles
+    scales: jnp.ndarray,  # (E, IN // 128, OUT) bf16
+    experts: jnp.ndarray,  # (P,) int32
+    *,
+    out_tile: int = 512,
+    in_tile: int = 2048,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """int4 per-pair expert matmul (batched MoE decode, one dispatch
+    for all (token, top-k) pairs — see w8_matmul_pairs)."""
+    n_experts, out_features = wq.shape[0], wq.shape[1]
+    in_features = wq.shape[2] * 2
+    if x.shape[-1] != in_features:
+        raise ValueError(
+            f"x last dim {x.shape[-1]} != padded in_features {in_features}"
+        )
+    if in_features % in_tile:
+        raise ValueError(
+            f"in_features {in_features} % in_tile {in_tile} != 0"
+        )
+    if in_tile % (2 * W4_GROUP) or (in_tile // 256) % 8:
+        raise ValueError(f"in_tile {in_tile} unsupported (use 2048)")
+    if scales.shape != (
+        n_experts, in_features // W4_GROUP, out_features
+    ):
+        raise ValueError(f"scales shape {scales.shape} mismatch")
+
+    n_pairs = x.shape[0]
+    x3 = jnp.broadcast_to(
+        x.astype(jnp.bfloat16)[:, None, :], (n_pairs, 8, in_features)
+    )
+
+    o_pad = _round_up(out_features, out_tile)
+    n_out = o_pad // out_tile
+    n_in = in_features // in_tile
+    half = in_tile // 2
+    s_half = half // W4_GROUP
+    n_scale_rows = in_features // W4_GROUP
+    out_dtype = out_dtype or x.dtype
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4p_kernel, n_in_tiles=n_in, s_half=s_half
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_pairs, n_out, n_in),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, half), lambda p, i, j, e: (p, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, 8, half), lambda p, i, j, e: (p, 0, j + n_in)
+                ),
+                pl.BlockSpec(
+                    (1, out_tile, half),
+                    lambda p, i, j, e: (e[p], i, j),
+                ),
+                pl.BlockSpec(
+                    (1, n_scale_rows, out_tile),
+                    lambda p, i, j, e: (e[p], 0, i),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, out_tile), lambda p, i, j, e: (p, 0, i)
+            ),
+            scratch_shapes=[pltpu.VMEM((8, out_tile), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pairs, 8, out_features), out_dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(
+        experts.astype(jnp.int32),
+        x3,
+        x3,
+        wq,
+        scales.astype(jnp.bfloat16),
+    )
+
+    return out[:, 0, :]
 
 
 def _bf16_kernel(x_ref, w_ref, o_ref, acc_ref, *, n_in_tiles: int):

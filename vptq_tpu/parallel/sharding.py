@@ -164,12 +164,38 @@ def _shard_mlp_dense(mlp, mesh):
     )
 
 
-def shard_model(model: Model, mesh: Mesh) -> Model:
-    """Place every parameter with its TP PartitionSpec.
+def _shard_moe_common(m, mesh: Mesh):
+    """Expert-parallel placement for a MoE block's routed experts.
 
-    MoE ``stacked`` fast-path weights are dropped under TP (the
-    selected-experts kernel is single-device; sharded MoE runs the
-    dense all-experts path — expert-parallel dispatch is future work).
+    Returns (stacked, experts, ep_mesh): when the stacked fast-path
+    weights exist and the expert count divides the "model" axis, the
+    stacked arrays are sharded on the EXPERT dimension (each device
+    holds whole experts) and the per-expert copies are dropped —
+    classic EP, forward via parallel.expert_parallel.moe_forward_ep.
+    Otherwise falls back to Megatron-TP inside each expert.
+    """
+    from vptq_tpu.parallel.expert_parallel import shard_stacked_experts
+
+    if m.stacked is not None:
+        stacked = shard_stacked_experts(m.stacked, mesh, "model")
+        if stacked is not None:
+            return stacked, (), mesh
+        if not m.experts:
+            # experts don't divide the axis and per-expert copies are
+            # gone: replicate the stacked arrays (single-device MoE
+            # semantics under GSPMD)
+            return replicated(m.stacked, mesh), (), None
+    experts = tuple(_shard_mlp_dense(e, mesh) for e in m.experts)
+    return None, experts, None
+
+
+def shard_model(model: Model, mesh: Mesh) -> Model:
+    """Place every parameter with its TP/EP PartitionSpec.
+
+    Linears are Megatron-TP over the "model" axis; MoE ``stacked``
+    expert weights are expert-parallel (sharded on the expert dim,
+    see _shard_moe_common) so sharded decode still reads only the
+    routed top-k experts' bytes per device.
     """
     blocks = []
     for block in model.blocks:
@@ -196,22 +222,24 @@ def shard_model(model: Model, mesh: Mesh) -> Model:
                 ),
             )
         if isinstance(block.mlp, MoeMlp):
+            m = block.mlp
+            stacked, experts, ep_mesh = _shard_moe_common(m, mesh)
             mlp = MoeMlp(
-                router=_shard_linear(block.mlp.router, mesh, True),
-                experts=tuple(
-                    _shard_mlp_dense(e, mesh)
-                    for e in block.mlp.experts
-                ),
-                num_experts_per_tok=block.mlp.num_experts_per_tok,
+                # router logits are (tokens, E)-tiny; replicate so
+                # top-k runs without a collective
+                router=replicated(m.router, mesh),
+                experts=experts,
+                num_experts_per_tok=m.num_experts_per_tok,
+                stacked=stacked,
+                ep_mesh=ep_mesh,
             )
         elif isinstance(block.mlp, DeepseekMoe):
             m = block.mlp
+            stacked, experts, ep_mesh = _shard_moe_common(m, mesh)
             mlp = DeepseekMoe(
                 router_weight=_put(m.router_weight, mesh, P()),
                 correction_bias=_put(m.correction_bias, mesh, P()),
-                experts=tuple(
-                    _shard_mlp_dense(e, mesh) for e in m.experts
-                ),
+                experts=experts,
                 shared_experts=_shard_mlp_dense(
                     m.shared_experts, mesh
                 ),
@@ -220,6 +248,8 @@ def shard_model(model: Model, mesh: Mesh) -> Model:
                 topk_group=m.topk_group,
                 norm_topk_prob=m.norm_topk_prob,
                 routed_scaling_factor=m.routed_scaling_factor,
+                stacked=stacked,
+                ep_mesh=ep_mesh,
             )
         else:
             mlp = _shard_mlp_dense(block.mlp, mesh)

@@ -90,9 +90,22 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
                          "qkv_proj"):
                 put_linear(f"{p}.attn.{name}", getattr(a, name))
         m = block.mlp
+        def put_stacked(prefix, st):
+            """fuse_model drops per-expert copies once stacked exists
+            (expert weights live once in HBM) — export the stacked
+            arrays; fmt rides the key name."""
+            put(f"{prefix}.stacked_{st.fmt}.gate_up_wq", st.gate_up_wq)
+            put(f"{prefix}.stacked_{st.fmt}.gate_up_scales",
+                st.gate_up_scales)
+            put(f"{prefix}.stacked_{st.fmt}.down_wq", st.down_wq)
+            put(f"{prefix}.stacked_{st.fmt}.down_scales",
+                st.down_scales)
+
         if isinstance(m, DeepseekMoe):
             put(f"{p}.mlp.router_weight", m.router_weight)
             put(f"{p}.mlp.correction_bias", m.correction_bias)
+            if m.stacked is not None and not m.experts:
+                put_stacked(f"{p}.mlp", m.stacked)
             for e, ex in enumerate(m.experts):
                 for name in ("gate_proj", "up_proj", "down_proj",
                              "gate_up_proj"):
@@ -108,6 +121,8 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
                 )
         elif isinstance(m, MoeMlp):
             put_linear(f"{p}.mlp.router", m.router)
+            if m.stacked is not None and not m.experts:
+                put_stacked(f"{p}.mlp", m.stacked)
             for e, ex in enumerate(m.experts):
                 for name in ("gate_proj", "up_proj", "down_proj",
                              "gate_up_proj"):
@@ -207,6 +222,25 @@ def load_runtime_model(runtime_dir: str):
             )
         return None
 
+    def get_stacked(p):
+        from vptq_tpu.models.llama import StackedExperts
+
+        for fmt in ("int8", "int4"):
+            key = f"{p}.stacked_{fmt}.gate_up_wq"
+            if key in state:
+                return StackedExperts(
+                    gate_up_wq=state[key],
+                    gate_up_scales=state[
+                        f"{p}.stacked_{fmt}.gate_up_scales"
+                    ],
+                    down_wq=state[f"{p}.stacked_{fmt}.down_wq"],
+                    down_scales=state[
+                        f"{p}.stacked_{fmt}.down_scales"
+                    ],
+                    fmt=fmt,
+                )
+        return None
+
     def get_mlp(p):
         if f"{p}.router_weight" in state:  # deepseek moe
             experts = []
@@ -224,6 +258,7 @@ def load_runtime_model(runtime_dir: str):
                 topk_group=cfg.topk_group,
                 norm_topk_prob=cfg.norm_topk_prob,
                 routed_scaling_factor=cfg.routed_scaling_factor,
+                stacked=get_stacked(p),
             )
         if get_linear(f"{p}.router") is not None:  # mixtral moe
             experts = []
@@ -235,6 +270,7 @@ def load_runtime_model(runtime_dir: str):
                 router=get_linear(f"{p}.router"),
                 experts=tuple(experts),
                 num_experts_per_tok=cfg.num_experts_per_tok,
+                stacked=get_stacked(p),
             )
         return _mk_mlp(p)
 
