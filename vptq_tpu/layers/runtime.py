@@ -269,7 +269,13 @@ def _exact_weight(layer: VQLinear, dtype=jnp.float32) -> "np.ndarray":
 
 
 def to_int8(layer: VQLinear, group: Optional[int] = None) -> Int8Linear:
-    """Exact dequant → symmetric per-(row, group) int8 re-encode."""
+    """Exact dequant → symmetric per-(row, group) int8 re-encode.
+
+    Returns HOST (numpy) arrays: device placement — single-chip upload
+    or direct sharded ``device_put`` onto a mesh — is the caller's one
+    explicit step (``models/loader.py``), so a 70B model never needs to
+    exist unsharded on one chip.
+    """
     import numpy as np
 
     w = _exact_weight(layer)  # numpy f32 (out, in)
@@ -299,8 +305,8 @@ def to_int8(layer: VQLinear, group: Optional[int] = None) -> Int8Linear:
             np.round(g / scale[:, :, None]), -127, 127
         ).astype(np.int8)
     return Int8Linear(
-        wq=jnp.asarray(q.reshape(out_f, in_p)),
-        scales=jnp.asarray(np.ascontiguousarray(scale.T)),
+        wq=np.ascontiguousarray(q.reshape(out_f, in_p)),
+        scales=np.ascontiguousarray(scale.T),
         bias=layer.bias,
     )
 
@@ -341,8 +347,8 @@ def dense_to_int8(
             np.round(g / scale[:, :, None]), -127, 127
         ).astype(np.int8).reshape(out_f, in_p)
     return Int8Linear(
-        wq=jnp.asarray(q.reshape(out_f, in_p)),
-        scales=jnp.asarray(np.ascontiguousarray(scale.T)),
+        wq=np.ascontiguousarray(q.reshape(out_f, in_p)),
+        scales=np.ascontiguousarray(scale.T),
         bias=layer.bias,
     )
 
@@ -374,10 +380,8 @@ def _encode_int4(w, bias) -> Int4Linear:
     else:
         q, scale = quantize_int4(w)
     return Int4Linear(
-        wq=jnp.asarray(pack_int4(q)),
-        scales=jnp.asarray(
-            np.ascontiguousarray(scale.T), jnp.bfloat16
-        ),
+        wq=pack_int4(q),
+        scales=np.ascontiguousarray(scale.T).astype(jnp.bfloat16),
         bias=bias,
     )
 
@@ -398,7 +402,7 @@ def dense_to_int4(layer: DenseLinear) -> Int4Linear:
 def to_bf16(layer: VQLinear) -> DenseLinear:
     w = _exact_weight(layer)
     return DenseLinear(
-        weight=jnp.asarray(w, jnp.bfloat16), bias=layer.bias
+        weight=w.astype(jnp.bfloat16), bias=layer.bias
     )
 
 
@@ -415,6 +419,22 @@ def to_runtime(layer, fmt: str):
     if fmt == "int4":
         return to_int4(layer)
     return to_bf16(layer)
+
+
+def _xp_of(*arrs):
+    """numpy when every given array is host-side, else jnp.
+
+    The encoders above return host arrays; fusing/stacking them must
+    stay on host (a jnp op would upload to the default device and
+    defeat sharded placement). Tests that build runtime layers from
+    device arrays keep working through the jnp branch.
+    """
+    import numpy as np
+
+    for a in arrs:
+        if a is not None and not isinstance(a, np.ndarray):
+            return jnp
+    return np
 
 
 def fuse_linears(linears):
@@ -436,21 +456,22 @@ def fuse_linears(linears):
             for m in linears
         ):
             return None
+        xp = _xp_of(*(m.wq for m in linears))
         biases = [m.bias for m in linears]
         if any(b is not None for b in biases):
-            bias = jnp.concatenate(
+            bias = xp.concatenate(
                 [
                     b
                     if b is not None
-                    else jnp.zeros(m.out_features, jnp.float32)
+                    else xp.zeros(m.out_features, jnp.float32)
                     for b, m in zip(biases, linears)
                 ]
             )
         else:
             bias = None
         return Int8Linear(
-            wq=jnp.concatenate([m.wq for m in linears], axis=0),
-            scales=jnp.concatenate(
+            wq=xp.concatenate([m.wq for m in linears], axis=0),
+            scales=xp.concatenate(
                 [m.scales for m in linears], axis=1
             ),
             bias=bias,
@@ -458,40 +479,42 @@ def fuse_linears(linears):
     if isinstance(first, Int4Linear):
         if any(m.wq.shape[1] != first.wq.shape[1] for m in linears):
             return None
+        xp = _xp_of(*(m.wq for m in linears))
         biases = [m.bias for m in linears]
         if any(b is not None for b in biases):
-            bias = jnp.concatenate(
+            bias = xp.concatenate(
                 [
                     b
                     if b is not None
-                    else jnp.zeros(m.out_features, jnp.float32)
+                    else xp.zeros(m.out_features, jnp.float32)
                     for b, m in zip(biases, linears)
                 ]
             )
         else:
             bias = None
         return Int4Linear(
-            wq=jnp.concatenate([m.wq for m in linears], axis=0),
-            scales=jnp.concatenate([m.scales for m in linears], axis=1),
+            wq=xp.concatenate([m.wq for m in linears], axis=0),
+            scales=xp.concatenate([m.scales for m in linears], axis=1),
             bias=bias,
         )
     if isinstance(first, DenseLinear):
         if any(m.weight.shape[1] != first.weight.shape[1] for m in linears):
             return None
+        xp = _xp_of(*(m.weight for m in linears))
         biases = [m.bias for m in linears]
         if any(b is not None for b in biases):
-            bias = jnp.concatenate(
+            bias = xp.concatenate(
                 [
                     b
                     if b is not None
-                    else jnp.zeros(m.out_features, m.weight.dtype)
+                    else xp.zeros(m.out_features, m.weight.dtype)
                     for b, m in zip(biases, linears)
                 ]
             )
         else:
             bias = None
         return DenseLinear(
-            weight=jnp.concatenate([m.weight for m in linears], axis=0),
+            weight=xp.concatenate([m.weight for m in linears], axis=0),
             bias=bias,
         )
     return None  # codebook layers are not fused
@@ -539,95 +562,96 @@ def stack_experts(experts):
         for m in downs
     ):
         return None
+    xp = _xp_of(*(m.wq for m in gus + downs))
     return StackedExperts(
-        gate_up_wq=jnp.stack([m.wq for m in gus]),
-        gate_up_scales=jnp.stack([m.scales for m in gus]),
-        down_wq=jnp.stack([m.wq for m in downs]),
-        down_scales=jnp.stack([m.scales for m in downs]),
+        gate_up_wq=xp.stack([m.wq for m in gus]),
+        gate_up_scales=xp.stack([m.scales for m in gus]),
+        down_wq=xp.stack([m.wq for m in downs]),
+        down_scales=xp.stack([m.scales for m in downs]),
         fmt=fmt,
+    )
+
+
+def fuse_block(block):
+    """Fuse one block's q|k|v and gate|up projections; stack MoE
+    experts for the selected-experts decode fast path."""
+    from vptq_tpu.models.llama import (
+        Attention,
+        Block,
+        DeepseekMoe,
+        Mlp,
+        MoeMlp,
+    )
+
+    attn, mlp = block.attn, block.mlp
+    if (
+        isinstance(attn, Attention)
+        and attn.qkv_proj is None
+        and attn.q_proj is not None
+    ):
+        fused = fuse_linears(
+            [attn.q_proj, attn.k_proj, attn.v_proj]
+        )
+        if fused is not None:
+            attn = Attention(
+                q_proj=None, k_proj=None, v_proj=None,
+                o_proj=attn.o_proj, qkv_proj=fused,
+            )
+    if (
+        isinstance(mlp, Mlp)
+        and mlp.gate_up_proj is None
+        and mlp.gate_proj is not None
+    ):
+        fused = fuse_linears([mlp.gate_proj, mlp.up_proj])
+        if fused is not None:
+            mlp = Mlp(
+                gate_proj=None, up_proj=None,
+                down_proj=mlp.down_proj, gate_up_proj=fused,
+            )
+    if isinstance(mlp, MoeMlp):
+        experts = tuple(_fuse_expert(e) for e in mlp.experts)
+        stacked = stack_experts(experts)
+        # stacked built => drop the per-expert copies so expert
+        # weights exist ONCE in HBM (both the dense all-experts
+        # path and the selected-experts fast path read the
+        # stacked arrays)
+        mlp = MoeMlp(
+            router=mlp.router,
+            experts=() if stacked is not None else experts,
+            num_experts_per_tok=mlp.num_experts_per_tok,
+            stacked=stacked,
+        )
+    elif isinstance(mlp, DeepseekMoe):
+        experts = tuple(_fuse_expert(e) for e in mlp.experts)
+        stacked = stack_experts(experts)
+        mlp = DeepseekMoe(
+            router_weight=mlp.router_weight,
+            correction_bias=mlp.correction_bias,
+            experts=() if stacked is not None else experts,
+            shared_experts=_fuse_expert(mlp.shared_experts),
+            top_k=mlp.top_k,
+            n_group=mlp.n_group,
+            topk_group=mlp.topk_group,
+            norm_topk_prob=mlp.norm_topk_prob,
+            routed_scaling_factor=mlp.routed_scaling_factor,
+            stacked=stacked,
+        )
+    return Block(
+        input_layernorm=block.input_layernorm,
+        attn=attn,
+        post_attention_layernorm=block.post_attention_layernorm,
+        mlp=mlp,
     )
 
 
 def fuse_model(model):
     """Fuse q|k|v and gate|up projections across all blocks; stack
     int8 MoE experts for the selected-experts decode fast path."""
-    from vptq_tpu.models.llama import (
-        Attention,
-        Block,
-        DeepseekMoe,
-        Mlp,
-        Model,
-        MoeMlp,
-    )
+    from vptq_tpu.models.llama import Model
 
-    from vptq_tpu.models.llama import Mlp as _Mlp
-
-    blocks = []
-    for block in model.blocks:
-        attn, mlp = block.attn, block.mlp
-        if (
-            isinstance(attn, Attention)
-            and attn.qkv_proj is None
-            and attn.q_proj is not None
-        ):
-            fused = fuse_linears(
-                [attn.q_proj, attn.k_proj, attn.v_proj]
-            )
-            if fused is not None:
-                attn = Attention(
-                    q_proj=None, k_proj=None, v_proj=None,
-                    o_proj=attn.o_proj, qkv_proj=fused,
-                )
-        if (
-            isinstance(mlp, _Mlp)
-            and mlp.gate_up_proj is None
-            and mlp.gate_proj is not None
-        ):
-            fused = fuse_linears([mlp.gate_proj, mlp.up_proj])
-            if fused is not None:
-                mlp = Mlp(
-                    gate_proj=None, up_proj=None,
-                    down_proj=mlp.down_proj, gate_up_proj=fused,
-                )
-        if isinstance(mlp, MoeMlp):
-            experts = tuple(_fuse_expert(e) for e in mlp.experts)
-            stacked = stack_experts(experts)
-            # stacked built => drop the per-expert copies so expert
-            # weights exist ONCE in HBM (both the dense all-experts
-            # path and the selected-experts fast path read the
-            # stacked arrays)
-            mlp = MoeMlp(
-                router=mlp.router,
-                experts=() if stacked is not None else experts,
-                num_experts_per_tok=mlp.num_experts_per_tok,
-                stacked=stacked,
-            )
-        elif isinstance(mlp, DeepseekMoe):
-            experts = tuple(_fuse_expert(e) for e in mlp.experts)
-            stacked = stack_experts(experts)
-            mlp = DeepseekMoe(
-                router_weight=mlp.router_weight,
-                correction_bias=mlp.correction_bias,
-                experts=() if stacked is not None else experts,
-                shared_experts=_fuse_expert(mlp.shared_experts),
-                top_k=mlp.top_k,
-                n_group=mlp.n_group,
-                topk_group=mlp.topk_group,
-                norm_topk_prob=mlp.norm_topk_prob,
-                routed_scaling_factor=mlp.routed_scaling_factor,
-                stacked=stacked,
-            )
-        blocks.append(
-            Block(
-                input_layernorm=block.input_layernorm,
-                attn=attn,
-                post_attention_layernorm=block.post_attention_layernorm,
-                mlp=mlp,
-            )
-        )
     return Model(
         embed_tokens=model.embed_tokens,
-        blocks=tuple(blocks),
+        blocks=tuple(fuse_block(b) for b in model.blocks),
         norm=model.norm,
         lm_head=model.lm_head,
         cfg=model.cfg,

@@ -283,6 +283,9 @@ def load_model(
     runtime_format: str = "codebook",
     fuse: bool = True,
     quantize_lm_head: bool = False,
+    mesh=None,
+    hbm_gb: Optional[float] = None,
+    hbm_utilization: float = 0.9,
 ) -> Model:
     """Load a VPTQ HF checkpoint directory into a :class:`Model`.
 
@@ -294,6 +297,24 @@ def load_model(
     ``quantize_lm_head`` additionally re-encodes the (normally dense
     bf16) lm_head to int8 — ~0.3% logit noise for half its HBM
     traffic per decode step.
+
+    ``mesh``: a ``jax.sharding.Mesh`` for **sharded ingestion** — each
+    decoder block is re-encoded on the host and ``device_put`` directly
+    onto the mesh with its TP/EP PartitionSpec (parallel/sharding.py),
+    block by block. The model never exists whole on one chip (or as a
+    single host copy beyond the memory-mapped checkpoint), which is
+    what makes 70B-class models loadable on small-HBM chips — the
+    capability the reference gets from accelerate's per-layer dispatch
+    (reference model_base.py:186-194).
+
+    ``hbm_gb``/``hbm_utilization``: per-chip HBM budget. The loader
+    predicts the runtime footprint from config geometry BEFORE reading
+    any weights, logs the fmt × chips budget table, and raises
+    :class:`~vptq_tpu.utils.memory.HBMBudgetError` with a suggestion
+    when the requested placement cannot fit (parity with the
+    reference's ``gpu_utilization`` cap, model_base.py:165-181).
+    ``hbm_gb=None`` auto-detects from PJRT ``memory_stats`` and skips
+    the check when the backend exposes none (CPU meshes).
     """
     root = Path(checkpoint_dir)
     if not root.exists():
@@ -319,6 +340,35 @@ def load_model(
     qcfg = QuantizationConfig.from_dict(
         hf_config.get("quantization_config", {})
     )
+
+    # --- HBM budget check: fail BEFORE reading any weights ----------
+    from vptq_tpu.utils import memory as hbm
+
+    n_devices = mesh.devices.size if mesh is not None else 1
+    hbm_bytes = (
+        int(hbm_gb * hbm.GiB) if hbm_gb else hbm.detect_hbm_bytes()
+    )
+    est = hbm.estimate_model_bytes(
+        model_cfg, runtime_format, qcfg, quantize_lm_head
+    )
+    if hbm_bytes:
+        table = hbm.budget_table(
+            model_cfg, qcfg, hbm_bytes=hbm_bytes,
+            utilization=hbm_utilization,
+        )
+        logger.info(
+            "HBM budget (per-chip, weights + 2048-token KV):\n%s",
+            hbm.format_budget_table(table),
+        )
+        hbm.check_budget(
+            est["total"] + hbm.kv_cache_bytes(model_cfg, 1, 2048),
+            n_devices,
+            hbm_bytes,
+            hbm_utilization,
+            what=f"{runtime_format} model ({est['total'] / hbm.GiB:.2f}"
+            " GiB weights)",
+        )
+
     state = load_state_dict(str(root))
 
     from vptq_tpu.layers.runtime import to_runtime
@@ -419,6 +469,16 @@ def load_model(
             num_experts_per_tok=model_cfg.num_experts_per_tok,
         )
 
+    do_fuse = fuse and runtime_format != "codebook"
+    if do_fuse or mesh is not None:
+        from vptq_tpu.layers.runtime import fuse_block
+    if mesh is not None:
+        from vptq_tpu.parallel.sharding import (
+            replicated as _replicated,
+            shard_block,
+            shard_linear,
+        )
+
     blocks = []
     for i in range(model_cfg.num_hidden_layers):
         p = f"model.layers.{i}"
@@ -451,18 +511,24 @@ def load_model(
                     up_proj=lin(f"{p}.mlp.up_proj"),
                     down_proj=lin(f"{p}.mlp.down_proj"),
                 )
-        blocks.append(
-            Block(
-                input_layernorm=state.pop(
-                    f"{p}.input_layernorm.weight"
-                ).astype(jnp.float32),
-                attn=attn,
-                post_attention_layernorm=state.pop(
-                    f"{p}.post_attention_layernorm.weight"
-                ).astype(jnp.float32),
-                mlp=mlp,
-            )
+        block = Block(
+            input_layernorm=state.pop(
+                f"{p}.input_layernorm.weight"
+            ).astype(jnp.float32),
+            attn=attn,
+            post_attention_layernorm=state.pop(
+                f"{p}.post_attention_layernorm.weight"
+            ).astype(jnp.float32),
+            mlp=mlp,
         )
+        if do_fuse:
+            block = fuse_block(block)
+        if mesh is not None:
+            # sharded ingestion: this block's host arrays are
+            # device_put onto the mesh NOW and freed on the host —
+            # peak host/chip memory is one block, not the model
+            block = shard_block(block, mesh)
+        blocks.append(block)
 
     embed = state.pop("model.embed_tokens.weight").astype(dtype)
     norm = state.pop("model.norm.weight").astype(jnp.float32)
@@ -471,10 +537,27 @@ def load_model(
     if not model_cfg.tie_word_embeddings:
         if "lm_head.weight" in state or qcfg.lookup("lm_head") is not None:
             lm_head = lin("lm_head")
+    if quantize_lm_head and isinstance(lm_head, DenseLinear):
+        from vptq_tpu.layers.runtime import dense_to_int8
+
+        lm_head = dense_to_int8(lm_head)
 
     leftover = [k for k in state if "rotary" not in k]
     if leftover:
         logger.warning("unused checkpoint tensors: %s", leftover[:8])
+
+    if mesh is not None:
+        embed = _replicated(embed, mesh)
+        norm = _replicated(norm, mesh)
+        if lm_head is not None:
+            lm_head = shard_linear(lm_head, mesh, True)
+        return Model(
+            embed_tokens=embed,
+            blocks=tuple(blocks),
+            norm=norm,
+            lm_head=lm_head,
+            cfg=model_cfg,
+        )
 
     model = Model(
         embed_tokens=embed,
@@ -483,20 +566,6 @@ def load_model(
         lm_head=lm_head,
         cfg=model_cfg,
     )
-    if fuse and runtime_format != "codebook":
-        from vptq_tpu.layers.runtime import fuse_model
-
-        model = fuse_model(model)
-    if quantize_lm_head and isinstance(model.lm_head, DenseLinear):
-        from vptq_tpu.layers.runtime import dense_to_int8
-
-        model = Model(
-            embed_tokens=model.embed_tokens,
-            blocks=model.blocks,
-            norm=model.norm,
-            lm_head=dense_to_int8(model.lm_head),
-            cfg=model.cfg,
-        )
     # single host->device upload of the final runtime representation
     # (ingestion above is all-numpy on purpose)
     import jax

@@ -40,6 +40,8 @@ from vptq_tpu.models.llama import (
 __all__ = [
     "make_mesh",
     "shard_model",
+    "shard_block",
+    "shard_linear",
     "shard_cache",
     "replicated",
 ]
@@ -75,7 +77,12 @@ def _put(x, mesh: Mesh, spec: P):
         for name in axis_names:
             size *= mesh.shape[name]
         fixed.append(axes if x.shape[dim] % size == 0 else None)
-    return jax.device_put(x, NamedSharding(mesh, P(*fixed)))
+    sharding = NamedSharding(mesh, P(*fixed))
+    if isinstance(x, jax.ShapeDtypeStruct):
+        # abstract mode: attach the sharding without materializing —
+        # used by tools/plan.py to AOT-compile 70B-geometry plans
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+    return jax.device_put(x, sharding)
 
 
 def _shard_vq(layer: VQLinear, mesh: Mesh, col_parallel: bool) -> VQLinear:
@@ -155,6 +162,11 @@ def _shard_linear(layer, mesh: Mesh, col_parallel: bool):
     )
 
 
+def shard_linear(layer, mesh: Mesh, col_parallel: bool):
+    """Public per-linear placement (used by the loader for lm_head)."""
+    return _shard_linear(layer, mesh, col_parallel)
+
+
 def _shard_mlp_dense(mlp, mesh):
     return Mlp(
         gate_proj=_shard_linear(mlp.gate_proj, mesh, True),
@@ -189,6 +201,78 @@ def _shard_moe_common(m, mesh: Mesh):
     return None, experts, None
 
 
+def shard_block(block: Block, mesh: Mesh) -> Block:
+    """Place one decoder block's parameters with TP/EP PartitionSpecs.
+
+    Called per block by :func:`shard_model`, and directly by the
+    loader's sharded-ingestion path (models/loader.py) so each block
+    is device_put onto the mesh as soon as it is re-encoded — a 70B
+    model never exists whole on one host or one chip.
+    """
+    if isinstance(block.attn, MlaAttention):
+        a = block.attn
+        attn = MlaAttention(
+            kv_a_proj=_shard_linear(a.kv_a_proj, mesh, False),
+            kv_a_norm=_put(a.kv_a_norm, mesh, P()),
+            kv_b_proj=_shard_linear(a.kv_b_proj, mesh, True),
+            o_proj=_shard_linear(a.o_proj, mesh, False),
+            q_proj=_shard_linear(a.q_proj, mesh, True),
+            q_a_proj=_shard_linear(a.q_a_proj, mesh, False),
+            q_a_norm=_put(a.q_a_norm, mesh, P()),
+            q_b_proj=_shard_linear(a.q_b_proj, mesh, True),
+        )
+    else:
+        attn = Attention(
+            q_proj=_shard_linear(block.attn.q_proj, mesh, True),
+            k_proj=_shard_linear(block.attn.k_proj, mesh, True),
+            v_proj=_shard_linear(block.attn.v_proj, mesh, True),
+            o_proj=_shard_linear(block.attn.o_proj, mesh, False),
+            qkv_proj=_shard_linear(
+                block.attn.qkv_proj, mesh, True
+            ),
+        )
+    if isinstance(block.mlp, MoeMlp):
+        m = block.mlp
+        stacked, experts, ep_mesh = _shard_moe_common(m, mesh)
+        mlp = MoeMlp(
+            # router logits are (tokens, E)-tiny; replicate so
+            # top-k runs without a collective
+            router=replicated(m.router, mesh),
+            experts=experts,
+            num_experts_per_tok=m.num_experts_per_tok,
+            stacked=stacked,
+            ep_mesh=ep_mesh,
+        )
+    elif isinstance(block.mlp, DeepseekMoe):
+        m = block.mlp
+        stacked, experts, ep_mesh = _shard_moe_common(m, mesh)
+        mlp = DeepseekMoe(
+            router_weight=_put(m.router_weight, mesh, P()),
+            correction_bias=_put(m.correction_bias, mesh, P()),
+            experts=experts,
+            shared_experts=_shard_mlp_dense(
+                m.shared_experts, mesh
+            ),
+            top_k=m.top_k,
+            n_group=m.n_group,
+            topk_group=m.topk_group,
+            norm_topk_prob=m.norm_topk_prob,
+            routed_scaling_factor=m.routed_scaling_factor,
+            stacked=stacked,
+            ep_mesh=ep_mesh,
+        )
+    else:
+        mlp = _shard_mlp_dense(block.mlp, mesh)
+    return Block(
+        input_layernorm=_put(block.input_layernorm, mesh, P()),
+        attn=attn,
+        post_attention_layernorm=_put(
+            block.post_attention_layernorm, mesh, P()
+        ),
+        mlp=mlp,
+    )
+
+
 def shard_model(model: Model, mesh: Mesh) -> Model:
     """Place every parameter with its TP/EP PartitionSpec.
 
@@ -197,75 +281,9 @@ def shard_model(model: Model, mesh: Mesh) -> Model:
     see _shard_moe_common) so sharded decode still reads only the
     routed top-k experts' bytes per device.
     """
-    blocks = []
-    for block in model.blocks:
-        if isinstance(block.attn, MlaAttention):
-            a = block.attn
-            attn = MlaAttention(
-                kv_a_proj=_shard_linear(a.kv_a_proj, mesh, False),
-                kv_a_norm=_put(a.kv_a_norm, mesh, P()),
-                kv_b_proj=_shard_linear(a.kv_b_proj, mesh, True),
-                o_proj=_shard_linear(a.o_proj, mesh, False),
-                q_proj=_shard_linear(a.q_proj, mesh, True),
-                q_a_proj=_shard_linear(a.q_a_proj, mesh, False),
-                q_a_norm=_put(a.q_a_norm, mesh, P()),
-                q_b_proj=_shard_linear(a.q_b_proj, mesh, True),
-            )
-        else:
-            attn = Attention(
-                q_proj=_shard_linear(block.attn.q_proj, mesh, True),
-                k_proj=_shard_linear(block.attn.k_proj, mesh, True),
-                v_proj=_shard_linear(block.attn.v_proj, mesh, True),
-                o_proj=_shard_linear(block.attn.o_proj, mesh, False),
-                qkv_proj=_shard_linear(
-                    block.attn.qkv_proj, mesh, True
-                ),
-            )
-        if isinstance(block.mlp, MoeMlp):
-            m = block.mlp
-            stacked, experts, ep_mesh = _shard_moe_common(m, mesh)
-            mlp = MoeMlp(
-                # router logits are (tokens, E)-tiny; replicate so
-                # top-k runs without a collective
-                router=replicated(m.router, mesh),
-                experts=experts,
-                num_experts_per_tok=m.num_experts_per_tok,
-                stacked=stacked,
-                ep_mesh=ep_mesh,
-            )
-        elif isinstance(block.mlp, DeepseekMoe):
-            m = block.mlp
-            stacked, experts, ep_mesh = _shard_moe_common(m, mesh)
-            mlp = DeepseekMoe(
-                router_weight=_put(m.router_weight, mesh, P()),
-                correction_bias=_put(m.correction_bias, mesh, P()),
-                experts=experts,
-                shared_experts=_shard_mlp_dense(
-                    m.shared_experts, mesh
-                ),
-                top_k=m.top_k,
-                n_group=m.n_group,
-                topk_group=m.topk_group,
-                norm_topk_prob=m.norm_topk_prob,
-                routed_scaling_factor=m.routed_scaling_factor,
-                stacked=stacked,
-                ep_mesh=ep_mesh,
-            )
-        else:
-            mlp = _shard_mlp_dense(block.mlp, mesh)
-        blocks.append(
-            Block(
-                input_layernorm=_put(block.input_layernorm, mesh, P()),
-                attn=attn,
-                post_attention_layernorm=_put(
-                    block.post_attention_layernorm, mesh, P()
-                ),
-                mlp=mlp,
-            )
-        )
     return Model(
         embed_tokens=_put(model.embed_tokens, mesh, P()),
-        blocks=tuple(blocks),
+        blocks=tuple(shard_block(b, mesh) for b in model.blocks),
         norm=_put(model.norm, mesh, P()),
         lm_head=None
         if model.lm_head is None

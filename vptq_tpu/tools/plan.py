@@ -1,0 +1,317 @@
+"""Serving planner: validate a (model × format × chips) deployment
+BEFORE downloading or re-encoding any weights.
+
+The reference answers "will it fit?" only implicitly, through
+accelerate's ``max_memory`` heuristics at load time (reference:
+vptq/layers/model_base.py:165-181). Here planning is explicit and
+free: the model is built **abstractly** (``jax.ShapeDtypeStruct``
+leaves with the exact shapes/dtypes the runtime encoders produce),
+sharded with the production PartitionSpecs (parallel/sharding.py in
+abstract mode), and the full decode step is AOT-compiled over the
+target mesh — validating the 70B-class multi-chip plan end-to-end
+(sharding propagation, collectives, kernel lowering) with zero weight
+bytes.
+
+CLI::
+
+    python -m vptq_tpu.tools.plan --geometry llama2-70b \
+        --format int4 --chips 8 [--batch 1] [--max-seq 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vptq_tpu.layers.runtime import pick_group
+from vptq_tpu.models.llama import (
+    Attention,
+    Block,
+    Mlp,
+    Model,
+    ModelConfig,
+    MoeMlp,
+    StackedExperts,
+    init_cache,
+)
+
+__all__ = [
+    "GEOMETRIES",
+    "abstract_runtime_model",
+    "validate_plan",
+]
+
+# Published model geometries (per HF config.json of each family).
+GEOMETRIES = {
+    "llama2-7b": dict(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=32, head_dim=128,
+    ),
+    "llama2-13b": dict(
+        vocab_size=32000, hidden_size=5120, intermediate_size=13824,
+        num_hidden_layers=40, num_attention_heads=40,
+        num_key_value_heads=40, head_dim=128,
+    ),
+    "llama2-70b": dict(
+        vocab_size=32000, hidden_size=8192, intermediate_size=28672,
+        num_hidden_layers=80, num_attention_heads=64,
+        num_key_value_heads=8, head_dim=128,
+    ),
+    "llama3-8b": dict(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=8, head_dim=128,
+    ),
+    "llama3-70b": dict(
+        vocab_size=128256, hidden_size=8192, intermediate_size=28672,
+        num_hidden_layers=80, num_attention_heads=64,
+        num_key_value_heads=8, head_dim=128,
+    ),
+    "mixtral-8x7b": dict(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=8, head_dim=128,
+        num_local_experts=8, num_experts_per_tok=2,
+        model_type="mixtral",
+    ),
+}
+
+
+def _abs(shape, dtype):
+    return jax.ShapeDtypeStruct(tuple(int(s) for s in shape), dtype)
+
+
+def _abs_linear(in_f: int, out_f: int, fmt: str):
+    """Abstract runtime linear with the encoders' exact shapes
+    (layers/runtime.py to_int8/_encode_int4/to_bf16)."""
+    from vptq_tpu.layers.dense import DenseLinear
+    from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
+
+    if fmt == "int8":
+        g = pick_group(in_f)
+        in_p = in_f + ((-in_f) % g)
+        return Int8Linear(
+            wq=_abs((out_f, in_p), jnp.int8),
+            scales=_abs((in_p // g, out_f), jnp.float32),
+            bias=None,
+        )
+    if fmt == "int4":
+        in_p = in_f + ((-in_f) % 2048)
+        return Int4Linear(
+            wq=_abs((out_f, in_p // 2), jnp.int8),
+            scales=_abs((in_p // 128, out_f), jnp.bfloat16),
+            bias=None,
+        )
+    if fmt == "bf16":
+        return DenseLinear(
+            weight=_abs((out_f, in_f), jnp.bfloat16), bias=None
+        )
+    raise ValueError(f"plan supports int8/int4/bf16, not {fmt!r}")
+
+
+def abstract_runtime_model(
+    cfg: ModelConfig,
+    fmt: str = "int4",
+    quantize_lm_head: bool = True,
+) -> Model:
+    """A fused runtime :class:`Model` of ShapeDtypeStruct leaves."""
+    h = cfg.hidden_size
+    nh, nkv, hd = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+    qkv_out = (nh + 2 * nkv) * hd
+    inter = cfg.intermediate_size
+    norm = _abs((h,), jnp.float32)
+
+    moe = cfg.num_local_experts > 0
+    if moe:
+        if fmt not in ("int8", "int4"):
+            raise ValueError("MoE plan needs int8/int4 (StackedExperts)")
+        e = cfg.num_local_experts
+        in_p_h = h + ((-h) % (2048 if fmt == "int4" else pick_group(h)))
+        in_p_i = inter + (
+            (-inter) % (2048 if fmt == "int4" else pick_group(inter))
+        )
+        div = 2 if fmt == "int4" else 1
+        sdt = jnp.bfloat16 if fmt == "int4" else jnp.float32
+        sg_h = in_p_h // (
+            128 if fmt == "int4" else pick_group(h)
+        )
+        sg_i = in_p_i // (
+            128 if fmt == "int4" else pick_group(inter)
+        )
+        stacked = StackedExperts(
+            gate_up_wq=_abs((e, 2 * inter, in_p_h // div), jnp.int8),
+            gate_up_scales=_abs((e, sg_h, 2 * inter), sdt),
+            down_wq=_abs((e, h, in_p_i // div), jnp.int8),
+            down_scales=_abs((e, sg_i, h), sdt),
+            fmt=fmt,
+        )
+        mlp = MoeMlp(
+            router=_abs_linear(h, cfg.num_local_experts, "bf16"),
+            experts=(),
+            num_experts_per_tok=cfg.num_experts_per_tok,
+            stacked=stacked,
+        )
+    else:
+        mlp = Mlp(
+            gate_proj=None,
+            up_proj=None,
+            down_proj=_abs_linear(inter, h, fmt),
+            gate_up_proj=_abs_linear(h, 2 * inter, fmt),
+        )
+
+    block = Block(
+        input_layernorm=norm,
+        attn=Attention(
+            q_proj=None,
+            k_proj=None,
+            v_proj=None,
+            o_proj=_abs_linear(nh * hd, h, fmt),
+            qkv_proj=_abs_linear(h, qkv_out, fmt),
+        ),
+        post_attention_layernorm=norm,
+        mlp=mlp,
+    )
+    lm_head = (
+        None
+        if cfg.tie_word_embeddings
+        else _abs_linear(
+            h, cfg.vocab_size, "int8" if quantize_lm_head else "bf16"
+        )
+    )
+    return Model(
+        embed_tokens=_abs((cfg.vocab_size, h), jnp.bfloat16),
+        blocks=tuple(block for _ in range(cfg.num_hidden_layers)),
+        norm=norm,
+        lm_head=lm_head,
+        cfg=cfg,
+    )
+
+
+def validate_plan(
+    cfg: ModelConfig,
+    fmt: str,
+    mesh,
+    batch: int = 1,
+    max_seq: int = 2048,
+    quantize_lm_head: bool = True,
+):
+    """AOT-compile the sharded decode step at full geometry.
+
+    Returns the compiled executable (whose ``memory_analysis()`` gives
+    per-device argument/temp byte counts from XLA itself). Raises if
+    the sharded graph cannot compile — the same failure a real load
+    would hit, caught with zero weight bytes moved.
+    """
+    from vptq_tpu.models.llama import forward
+    from vptq_tpu.parallel.sharding import shard_cache, shard_model
+
+    model = abstract_runtime_model(cfg, fmt, quantize_lm_head)
+    model = shard_model(model, mesh)  # abstract mode: attaches specs
+    cache = jax.eval_shape(
+        lambda: init_cache(cfg, batch, max_seq, jnp.bfloat16)
+    )
+    cache = shard_cache(cache, mesh)
+    tokens = _abs((batch, 1), jnp.int32)
+
+    step = jax.jit(lambda m, t, c: forward(m, t, c))
+    with mesh:
+        return step.lower(model, tokens, cache).compile()
+
+
+def main(argv=None) -> int:
+    from vptq_tpu.parallel.sharding import make_mesh
+    from vptq_tpu.utils import memory as hbm
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument(
+        "--geometry", required=True, choices=sorted(GEOMETRIES)
+    )
+    ap.add_argument(
+        "--format", default="int4", choices=("int8", "int4", "bf16")
+    )
+    ap.add_argument("--chips", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--max-seq", type=int, default=2048)
+    ap.add_argument(
+        "--hbm-gb", type=float, default=16.0,
+        help="per-chip HBM (v5e default 16)",
+    )
+    ap.add_argument(
+        "--compile", action="store_true",
+        help="also AOT-compile the sharded decode step (slower)",
+    )
+    args = ap.parse_args(argv)
+
+    cfg = ModelConfig(
+        **{
+            **dict(tie_word_embeddings=False, model_type="llama"),
+            **GEOMETRIES[args.geometry],
+        }
+    )
+    est = hbm.estimate_model_bytes(cfg, args.format)
+    kv = hbm.kv_cache_bytes(cfg, args.batch, args.max_seq)
+    table = hbm.budget_table(
+        cfg, hbm_bytes=int(args.hbm_gb * hbm.GiB),
+        batch=args.batch, max_seq=args.max_seq,
+        formats=("int4", "int8", "bf16"),
+    )
+    print(f"# {args.geometry} @ {args.format}, {args.chips} chip(s)")
+    print(hbm.format_budget_table(table))
+    try:
+        hbm.check_budget(
+            est["total"] + kv,
+            args.chips,
+            int(args.hbm_gb * hbm.GiB),
+            what=f"{args.geometry} ({args.format})",
+        )
+    except hbm.HBMBudgetError as e:
+        print(f"OVER BUDGET: {e}")
+        return 1
+    print(
+        f"fits: {(est['total'] + kv) / args.chips / hbm.GiB:.2f}"
+        f" GiB/chip of {args.hbm_gb:.1f}"
+    )
+    if args.compile:
+        import numpy as np
+
+        if len(jax.devices()) < args.chips:
+            print(
+                f"(only {len(jax.devices())} devices visible — "
+                "compiling on a forced CPU mesh)"
+            )
+            import os
+
+            from jax.extend import backend as _backend
+
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            jax.config.update("jax_platforms", "cpu")
+            _backend.clear_backends()
+            jax.config.update("jax_num_cpu_devices", args.chips)
+        mesh = make_mesh(
+            data=1, model=args.chips,
+            devices=np.asarray(jax.devices()[: args.chips]),
+        )
+        compiled = validate_plan(
+            cfg, args.format, mesh, args.batch, args.max_seq
+        )
+        mem = compiled.memory_analysis()
+        if mem is not None:
+            print(
+                "XLA per-device: args "
+                f"{mem.argument_size_in_bytes / hbm.GiB:.2f} GiB, "
+                f"temps {mem.temp_size_in_bytes / hbm.GiB:.2f} GiB"
+            )
+        print("decode step compiles under the plan mesh: OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,398 @@
+"""HBM budget accounting for model loading and serving.
+
+Parity goal: the reference caps per-GPU memory with its
+``gpu_utilization`` heuristic (reference: vptq/layers/model_base.py:
+165-181 — squeeze into GPU 0 when the whole model fits, else spread).
+On TPU placement is GSPMD's, but the *accounting* question remains:
+"does model X in runtime format F fit on N chips?" This module answers
+it BEFORE the load starts (from config geometry alone), emits the
+fmt × chips → HBM/chip budget table, and raises a hard error with a
+concrete suggestion when the requested configuration cannot fit.
+
+All sizes are bytes unless a name says otherwise. Estimates are exact
+for the dense runtime formats (same padding rules as the encoders in
+``vptq_tpu.layers.runtime``) and exact-by-construction for ``codebook``
+(computed from the checkpoint's own ``VQLinearConfig`` geometry).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Tuple
+
+__all__ = [
+    "HBMBudgetError",
+    "linear_runtime_bytes",
+    "model_geometry",
+    "estimate_model_bytes",
+    "kv_cache_bytes",
+    "model_bytes",
+    "budget_table",
+    "format_budget_table",
+    "check_budget",
+    "detect_hbm_bytes",
+]
+
+GiB = 1024 ** 3
+
+# v5e chips carry 16 GiB HBM; used when the backend exposes no
+# memory_stats (e.g. the CPU mesh used for dryruns).
+DEFAULT_HBM_BYTES = 16 * GiB
+
+
+class HBMBudgetError(RuntimeError):
+    """Raised when a model cannot fit the requested device budget."""
+
+
+def _int8_bytes(out_f: int, in_f: int) -> int:
+    from vptq_tpu.layers.runtime import pick_group
+
+    g = pick_group(in_f)
+    in_p = in_f + ((-in_f) % g)
+    return out_f * in_p + 4 * out_f * (in_p // g)
+
+
+def _int4_bytes(out_f: int, in_f: int) -> int:
+    in_p = in_f + ((-in_f) % 2048)
+    return out_f * in_p // 2 + 2 * out_f * (in_p // 128)
+
+
+def _codebook_bytes(cfg) -> int:
+    """Exact byte count of a normalized VQLinear (loader layout).
+
+    Index planes are uint16 (k > 256) or uint8; codebooks bf16;
+    norm vectors bf16; inv_perm int32 (vptq_tpu/models/loader.py:
+    normalize_vq_layer).
+    """
+    c = cfg.num_codebooks
+    k, v = cfg.num_main_centroids, cfg.vector_len
+    n = 0
+    id_w = 2 if k > 256 else 1
+    n += c * cfg.num_indices * cfg.group_size * id_w  # ids
+    n += c * k * v * 2  # centroids bf16
+    if cfg.enable_residual:
+        res_w = 2 if cfg.num_main_res_centroids > 256 else 1
+        n += c * cfg.num_indices * cfg.group_size * res_w
+        n += c * cfg.num_main_res_centroids * v * 2
+    if cfg.enable_outlier:
+        ow = 2 if cfg.num_outlier_centroids > 256 else 1
+        n += cfg.outlier_num_indices * cfg.outlier_size * ow
+        n += cfg.num_outlier_centroids * cfg.outlier_vector_len * 2
+    if cfg.enable_perm:
+        n += 4 * cfg.in_features  # inv_perm int32
+    if cfg.enable_norm:
+        n += 2 * 2 * cfg.in_features  # weight_scale + weight_bias bf16
+    if cfg.bias:
+        n += 2 * cfg.out_features
+    return n
+
+
+def linear_runtime_bytes(
+    out_f: int, in_f: int, fmt: str, vq_cfg=None
+) -> int:
+    """Bytes one linear occupies in runtime format ``fmt``.
+
+    ``vq_cfg`` (a :class:`VQLinearConfig`) is required for
+    ``fmt="codebook"``; dense layers under "codebook" stay bf16.
+    """
+    if fmt == "int8":
+        return _int8_bytes(out_f, in_f)
+    if fmt == "int4":
+        return _int4_bytes(out_f, in_f)
+    if fmt == "bf16":
+        return 2 * out_f * in_f
+    if fmt == "codebook":
+        if vq_cfg is None:
+            return 2 * out_f * in_f  # dense layer stays bf16
+        return _codebook_bytes(vq_cfg)
+    raise ValueError(f"unknown runtime format {fmt!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearGeom:
+    name: str  # tail name used for quantization_config lookup
+    out_features: int
+    in_features: int
+    count: int  # how many instances across the model
+
+
+def model_geometry(cfg) -> List[LinearGeom]:
+    """Per-role linear geometry of a :class:`ModelConfig`.
+
+    Covers dense Llama/Qwen/Mistral, Mixtral-style MoE, and
+    DeepSeek MLA + fine-grained MoE.
+    """
+    h = cfg.hidden_size
+    L = cfg.num_hidden_layers
+    geoms: List[LinearGeom] = []
+
+    if cfg.is_mla:
+        qk, dv = cfg.qk_head_dim, cfg.v_head_dim
+        nh = cfg.num_attention_heads
+        if cfg.q_lora_rank:
+            geoms.append(LinearGeom("q_a_proj", cfg.q_lora_rank, h, L))
+            geoms.append(
+                LinearGeom("q_b_proj", nh * qk, cfg.q_lora_rank, L)
+            )
+        else:
+            geoms.append(LinearGeom("q_proj", nh * qk, h, L))
+        geoms.append(
+            LinearGeom(
+                "kv_a_proj_with_mqa",
+                cfg.kv_lora_rank + cfg.qk_rope_head_dim,
+                h,
+                L,
+            )
+        )
+        geoms.append(
+            LinearGeom(
+                "kv_b_proj",
+                nh * (cfg.qk_nope_head_dim + dv),
+                cfg.kv_lora_rank,
+                L,
+            )
+        )
+        geoms.append(LinearGeom("o_proj", h, nh * dv, L))
+    else:
+        nh, nkv, hd = (
+            cfg.num_attention_heads,
+            cfg.num_key_value_heads,
+            cfg.head_dim,
+        )
+        geoms.append(LinearGeom("q_proj", nh * hd, h, L))
+        geoms.append(LinearGeom("k_proj", nkv * hd, h, L))
+        geoms.append(LinearGeom("v_proj", nkv * hd, h, L))
+        geoms.append(LinearGeom("o_proj", h, nh * hd, L))
+
+    if cfg.n_routed_experts:  # DeepSeek MoE
+        dense_layers = min(cfg.first_k_dense_replace, L)
+        moe_layers = L - dense_layers
+        inter = cfg.intermediate_size
+        for nm in ("gate_proj", "up_proj"):
+            geoms.append(LinearGeom(nm, inter, h, dense_layers))
+        geoms.append(LinearGeom("down_proj", h, inter, dense_layers))
+        mi = cfg.moe_intermediate_size
+        n_exp = cfg.n_routed_experts
+        for nm in ("gate_proj", "up_proj"):
+            geoms.append(LinearGeom(nm, mi, h, moe_layers * n_exp))
+        geoms.append(LinearGeom("down_proj", h, mi, moe_layers * n_exp))
+        shared = cfg.n_shared_experts
+        if shared:
+            for nm in ("gate_proj", "up_proj"):
+                geoms.append(
+                    LinearGeom(nm, mi * shared, h, moe_layers)
+                )
+            geoms.append(
+                LinearGeom("down_proj", h, mi * shared, moe_layers)
+            )
+    elif cfg.num_local_experts:  # Mixtral MoE
+        inter = cfg.intermediate_size
+        n_exp = cfg.num_local_experts
+        geoms.append(LinearGeom("w1", inter, h, L * n_exp))
+        geoms.append(LinearGeom("w3", inter, h, L * n_exp))
+        geoms.append(LinearGeom("w2", h, inter, L * n_exp))
+    else:
+        inter = cfg.intermediate_size
+        geoms.append(LinearGeom("gate_proj", inter, h, L))
+        geoms.append(LinearGeom("up_proj", inter, h, L))
+        geoms.append(LinearGeom("down_proj", h, inter, L))
+    return geoms
+
+
+def _lookup_geom(qcfg, tail: str, out_f: int, in_f: int):
+    """Find the VQLinearConfig for a geometry row.
+
+    ``config_for_layers`` keys are full module paths
+    (``model.layers.0.self_attn.q_proj``); match by tail name,
+    preferring an entry with the same in/out features (MoE checkpoints
+    reuse tail names at different shapes)."""
+    vq = qcfg.lookup(tail)
+    if vq is not None:
+        return vq
+    fallback = None
+    for k, v in qcfg.config_for_layers.items():
+        if k.split(".")[-1] != tail:
+            continue
+        if v.in_features == in_f and v.out_features == out_f:
+            return v
+        fallback = fallback or v
+    return fallback
+
+
+def estimate_model_bytes(
+    cfg,
+    fmt: str,
+    qcfg=None,
+    quantize_lm_head: bool = False,
+) -> Dict[str, int]:
+    """Predicted HBM bytes of a loaded model, from geometry alone.
+
+    Returns a breakdown dict with a ``"total"`` key. ``qcfg`` (a
+    :class:`QuantizationConfig`) selects which layers are quantized;
+    layers without a quantization entry stay bf16 (same rule as the
+    loader).
+    """
+    h = cfg.hidden_size
+    out: Dict[str, int] = {}
+    blocks = 0
+    for g in model_geometry(cfg):
+        if qcfg is not None:
+            vq = _lookup_geom(
+                qcfg, g.name, g.out_features, g.in_features
+            )
+            if vq is None and fmt != "bf16":
+                # unquantized layer: dense bf16 regardless of fmt
+                per = 2 * g.out_features * g.in_features
+            else:
+                per = linear_runtime_bytes(
+                    g.out_features, g.in_features, fmt, vq
+                )
+        else:
+            # planning mode (no checkpoint yet): assume every block
+            # linear carries the runtime format
+            per = linear_runtime_bytes(
+                g.out_features, g.in_features, fmt, None
+            )
+        blocks += per * g.count
+    out["blocks"] = blocks
+    # layernorms: 2 fp32 vectors per layer + final norm
+    out["norms"] = 4 * h * (2 * cfg.num_hidden_layers + 1)
+    out["embed"] = 2 * cfg.vocab_size * h
+    if cfg.tie_word_embeddings:
+        out["lm_head"] = 0
+    elif quantize_lm_head:
+        out["lm_head"] = _int8_bytes(cfg.vocab_size, h)
+    else:
+        out["lm_head"] = 2 * cfg.vocab_size * h
+    out["total"] = sum(out.values())
+    return out
+
+
+def kv_cache_bytes(
+    cfg, batch: int, max_seq: int, dtype_bytes: int = 2
+) -> int:
+    kv_heads = (
+        cfg.num_attention_heads
+        if cfg.is_mla
+        else cfg.num_key_value_heads
+    )
+    per_layer = (
+        batch
+        * max_seq
+        * kv_heads
+        * (cfg.cache_k_dim + cfg.cache_v_dim)
+        * dtype_bytes
+    )
+    return per_layer * cfg.num_hidden_layers
+
+
+def model_bytes(model) -> int:
+    """Actual bytes of a model pytree (numpy or jax leaves)."""
+    import jax
+
+    total = 0
+    for leaf in jax.tree.leaves(model):
+        if hasattr(leaf, "nbytes"):
+            total += int(leaf.nbytes)
+    return total
+
+
+def detect_hbm_bytes() -> Optional[int]:
+    """Per-device HBM from PJRT memory_stats, or None off-TPU."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    limit = stats.get("bytes_limit")
+    return int(limit) if limit else None
+
+
+def budget_table(
+    cfg,
+    qcfg=None,
+    formats: Tuple[str, ...] = ("codebook", "int4", "int8", "bf16"),
+    chip_counts: Tuple[int, ...] = (1, 2, 4, 8),
+    hbm_bytes: int = DEFAULT_HBM_BYTES,
+    batch: int = 1,
+    max_seq: int = 2048,
+    utilization: float = 0.9,
+) -> List[Dict]:
+    """fmt × n_chips → HBM/chip table (weights + KV cache).
+
+    ``fits`` assumes weights shard evenly over the chips (TP/EP) and
+    the KV cache shards over heads; both hold for the shipped sharding
+    rules (vptq_tpu/parallel/sharding.py).
+    """
+    kv = kv_cache_bytes(cfg, batch, max_seq)
+    rows = []
+    for fmt in formats:
+        est = estimate_model_bytes(cfg, fmt, qcfg)
+        row = {
+            "format": fmt,
+            "weights_gib": est["total"] / GiB,
+            "kv_gib": kv / GiB,
+            "per_chip_gib": {},
+            "min_chips": None,
+        }
+        for n in chip_counts:
+            per = (est["total"] + kv) / n
+            row["per_chip_gib"][n] = per / GiB
+            if row["min_chips"] is None and per <= hbm_bytes * utilization:
+                row["min_chips"] = n
+        rows.append(row)
+    return rows
+
+
+def format_budget_table(rows: List[Dict]) -> str:
+    chip_counts = sorted(rows[0]["per_chip_gib"])
+    head = (
+        f"{'format':>9} {'weights':>9} {'kv':>7} "
+        + " ".join(f"{n}-chip".rjust(8) for n in chip_counts)
+        + "  min_chips"
+    )
+    lines = [head]
+    for r in rows:
+        cells = " ".join(
+            f"{r['per_chip_gib'][n]:7.2f}G" for n in chip_counts
+        )
+        mc = r["min_chips"] if r["min_chips"] is not None else ">max"
+        lines.append(
+            f"{r['format']:>9} {r['weights_gib']:8.2f}G"
+            f" {r['kv_gib']:6.2f}G {cells} {str(mc):>9}"
+        )
+    return "\n".join(lines)
+
+
+def check_budget(
+    total_bytes: int,
+    n_devices: int,
+    hbm_bytes: int,
+    utilization: float = 0.9,
+    what: str = "model",
+) -> None:
+    """Hard-fail with a suggestion when ``what`` exceeds the budget.
+
+    Counterpart of the reference's ``gpu_utilization`` cap
+    (model_base.py:165-181), but fail-fast instead of silently
+    offloading.
+    """
+    per_chip = total_bytes / max(n_devices, 1)
+    budget = hbm_bytes * utilization
+    if per_chip <= budget:
+        return
+    need = math.ceil(total_bytes / budget)
+    raise HBMBudgetError(
+        f"{what} needs {per_chip / GiB:.2f} GiB/chip on {n_devices} "
+        f"chip(s), over the {budget / GiB:.2f} GiB budget "
+        f"({hbm_bytes / GiB:.1f} GiB × {utilization:.0%}). "
+        f"Suggestions: shard over ≥{need} chips (pass a mesh with "
+        f"model={need}), or pick a smaller runtime_format "
+        f"(int4 halves int8; codebook is the checkpoint's own "
+        f"~2-3 bits/weight), or lower max_seq/batch to shrink the "
+        f"KV cache."
+    )
