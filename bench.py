@@ -54,6 +54,48 @@ def build_7b_int8(rng, fmt="int8"):
 
     def lin(in_f, out_f, f=None):
         key_holder[0], k1, k2 = jax.random.split(key_holder[0], 3)
+        if (f or fmt) == "codebook":
+            # exact compressed format: v8-k65536 + 256-centroid
+            # residual (the community "3-bit" geometry). Measures the
+            # dequant-per-matmul decode path (VERDICT item 1c).
+            from vptq_tpu.config import VQLinearConfig
+            from vptq_tpu.layers.vqlinear import VQLinear
+
+            v, k, kres = 8, 65536, 256
+            n_idx = (out_f + v - 1) // v
+            lcfg = VQLinearConfig(
+                in_features=in_f,
+                out_features=out_f,
+                vector_lens=(-1, v),
+                num_centroids=(-1, k),
+                num_res_centroids=(-1, kres),
+                group_num=1,
+                group_size=in_f,
+                outlier_size=0,
+                enable_norm=True,
+            )
+            key_holder[0], k3, k4, k5 = jax.random.split(
+                key_holder[0], 4
+            )
+            return VQLinear(
+                centroids=0.01 * jax.random.normal(
+                    k1, (1, k, v), jnp.bfloat16
+                ),
+                ids=jax.random.randint(
+                    k2, (1, n_idx, in_f), 0, k, dtype=jnp.int32
+                ).astype(jnp.uint16),
+                res_centroids=0.003 * jax.random.normal(
+                    k3, (1, kres, v), jnp.bfloat16
+                ),
+                res_ids=jax.random.randint(
+                    k4, (1, n_idx, in_f), 0, kres, dtype=jnp.int32
+                ).astype(jnp.uint8),
+                weight_scale=1.0 + 0.01 * jax.random.normal(
+                    k5, (in_f,), jnp.float32
+                ),
+                weight_bias=jnp.zeros((in_f,), jnp.float32),
+                cfg=lcfg,
+            )
         if (f or fmt) == "int4":
             in_p = in_f + ((-in_f) % 2048)
             wq = jax.random.randint(
@@ -123,7 +165,9 @@ def ttft(model, prompt_len=512):
     from vptq_tpu.models.llama import forward, init_cache
 
     prefill = jax.jit(
-        lambda m, t, c: forward(m, t, c, dtype=jnp.bfloat16)
+        lambda m, t, c: forward(
+            m, t, c, dtype=jnp.bfloat16, fresh_prefill=True
+        )
     )
     tokens = jnp.ones((1, prompt_len), jnp.int32)
     times = []
@@ -148,11 +192,18 @@ def main():
     # AQLM protocol (tech report §5): 1-token prompt, 256 new tokens
     steps = int(args[0]) if args else 256
     metric = "ttft" if "--ttft" in sys.argv else "decode"
-    fmt = "int4" if "--int4" in sys.argv else "int8"
+    fmt = "int8"
+    if "--int4" in sys.argv:
+        fmt = "int4"
+    elif "--codebook" in sys.argv:
+        fmt = "codebook"
     batch = 1
+    prompt_len = 512
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
+        if a.startswith("--prompt="):
+            prompt_len = int(a.split("=")[1])
     max_seq = max(512, steps + 8)
 
     rng = np.random.default_rng(0)
@@ -161,11 +212,11 @@ def main():
     print(f"# model built in {time.time()-t0:.1f}s", file=sys.stderr)
 
     if metric == "ttft":
-        t = ttft(model)
+        t = ttft(model, prompt_len=prompt_len)
         print(
             json.dumps(
                 {
-                    "metric": "llama2_7b_prefill512_p50_s",
+                    "metric": f"llama2_7b_prefill{prompt_len}_p50_s",
                     "value": round(t, 4),
                     "unit": "s",
                     "vs_baseline": 0.0,  # reference publishes no TTFT
@@ -204,7 +255,7 @@ def main():
         json.dumps(
             {
                 "metric": "llama2_7b_decode_tok_s_1chip"
-                + ("_int4" if fmt == "int4" else "")
+                + ("" if fmt == "int8" else f"_{fmt}")
                 + (f"_b{batch}" if batch > 1 else ""),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",

@@ -73,6 +73,50 @@ def test_scheduler_streaming_and_eos(tmp_path):
     assert streamed == out
 
 
+def test_no_head_of_line_blocking(tmp_path):
+    """Active slots keep producing tokens while a long prompt is
+    admitted: each step runs at most ONE prefill bucket, so decode
+    events must interleave with the long admission's prefill chunks."""
+    model = _model(tmp_path)
+    sched = Scheduler(model, max_batch=2, max_seq=64,
+                      dtype=jnp.float32, chunk=2, prompt_buckets=(8,))
+
+    events = []
+    inner_prefill = sched._prefill_one
+
+    def logged_prefill(*a, **kw):
+        events.append("prefill")
+        return inner_prefill(*a, **kw)
+
+    sched._prefill_one = logged_prefill
+
+    # short active request first
+    sched.submit(
+        [1, 2, 3], max_new_tokens=20,
+        stream_callback=lambda r, t: events.append("decode"),
+    )
+    # long prompt: 4 buckets of 8 — old code ran all 4 back-to-back
+    long_id = sched.submit(list(range(1, 33)), max_new_tokens=4)
+    sched.run()
+
+    # the long admission's prefill chunks are events[1:5] (event 0 is
+    # the short prompt's single bucket); decode tokens of the short
+    # request must appear BETWEEN them
+    prefill_pos = [i for i, e in enumerate(events) if e == "prefill"]
+    assert len(prefill_pos) == 5
+    long_chunks = prefill_pos[1:]
+    for a, b in zip(long_chunks, long_chunks[1:]):
+        assert any(events[i] == "decode" for i in range(a + 1, b)), (
+            f"no decode between prefill chunks at {a}..{b}: {events}"
+        )
+    # correctness is untouched by interleaving
+    gen = Generator(model, max_seq=64, dtype=jnp.float32,
+                    prompt_buckets=(8,))
+    assert sched.finished[long_id].output == gen.generate(
+        list(range(1, 33)), max_new_tokens=4
+    )
+
+
 def test_scheduler_long_prompt(tmp_path):
     model = _model(tmp_path)
     gen = Generator(model, max_seq=64, dtype=jnp.float32,

@@ -16,8 +16,13 @@ class _FakeTokenizer:
 
 
 class _FakeGenerator:
-    def generate(self, ids, eos_token_id=None, **kw):
-        return [7, 8, 9]
+    def generate(self, ids, eos_token_id=None, stream_callback=None,
+                 **kw):
+        out = [7, 8, 9]
+        if stream_callback is not None:
+            for t in out:
+                stream_callback(t)
+        return out
 
 
 def test_webapp_endpoints():
@@ -47,6 +52,35 @@ def test_webapp_endpoints():
         )
         resp = json.loads(urllib.request.urlopen(req).read())
         assert resp["content"] == "7 8 9"
+        assert resp["tokens_per_s"] > 0
+
+        # tokens/s lands in the stats line after a completion
+        stats = json.loads(
+            urllib.request.urlopen(base + "/api/stats").read()
+        )
+        assert stats["tokens_per_s"] > 0
+
+        # SSE streaming: per-token deltas then a done event
+        req = urllib.request.Request(
+            base + "/api/chat",
+            data=json.dumps({
+                "messages": [{"role": "user", "content": "hi"}],
+                "stream": True,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        r = urllib.request.urlopen(req)
+        assert r.headers["Content-Type"] == "text/event-stream"
+        events = [
+            json.loads(line[len("data: "):])
+            for line in r.read().decode().split("\n\n")
+            if line.startswith("data: ")
+        ]
+        assert events[-1]["done"] is True
+        assert events[-1]["content"] == "7 8 9"
+        assert events[-1]["tokens_per_s"] > 0
+        deltas = "".join(e["delta"] for e in events[:-1])
+        assert deltas == "7 8 9"
 
         # error path: empty payload
         req = urllib.request.Request(
@@ -55,6 +89,52 @@ def test_webapp_endpoints():
         )
         try:
             urllib.request.urlopen(req)
+            raise AssertionError("expected 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+    finally:
+        httpd.shutdown()
+
+
+def test_webapp_model_switch():
+    from vptq_tpu.serving.webapp import serve
+
+    loads = []
+
+    def load_fn(path):
+        loads.append(path)
+        return _FakeGenerator(), _FakeTokenizer()
+
+    httpd = serve(
+        _FakeGenerator(), _FakeTokenizer(), port=0,
+        models={"a": "/ckpt/a", "b": "/ckpt/b"},
+        current="a", load_fn=load_fn,
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        models = json.loads(
+            urllib.request.urlopen(base + "/api/models").read()
+        )
+        assert models == {"models": ["a", "b"], "current": "a"}
+
+        def post(path, obj):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        assert post("/api/model", {"name": "b"})["current"] == "b"
+        assert loads == ["/ckpt/b"]
+        # switching to the already-current model is a no-op
+        assert post("/api/model", {"name": "b"})["current"] == "b"
+        assert loads == ["/ckpt/b"]
+        # unknown model -> 500 with error surfaced
+        try:
+            post("/api/model", {"name": "zzz"})
             raise AssertionError("expected 500")
         except urllib.error.HTTPError as e:
             assert e.code == 500

@@ -465,18 +465,27 @@ def init_cache(
 def _flash_enabled() -> bool:
     """Fused flash-attention prefill (jax.experimental.pallas TPU op).
 
-    Off by default until validated on hardware; enable with
-    VPTQ_TPU_FLASH=1. Only used for fresh prefills (cache offset 0) on
-    standard attention without sliding windows.
+    ON by default for fresh prefills of >= _FLASH_MIN_SEQ tokens
+    (cache offset 0, standard attention, no sliding window); disable
+    with VPTQ_TPU_FLASH=0. Measured on a v5e at 7B geometry
+    (examples/flash_prefill_bench.py): below 1024 tokens XLA's fused
+    dense-mask attention is faster (0.03 ms vs 0.15 ms per layer at
+    512 — the pallas kernel has fixed overhead); at 1024 flash wins
+    14% (0.52 vs 0.60 ms) and at 2048 19% (1.97 vs 2.34 ms), in bf16
+    with no fp32 casts (the fp32 casts were why round 1 measured
+    flash slower).
     """
     import os
 
     import jax
 
     return (
-        os.environ.get("VPTQ_TPU_FLASH", "0") == "1"
+        os.environ.get("VPTQ_TPU_FLASH", "1") != "0"
         and jax.default_backend() == "tpu"
     )
+
+
+_FLASH_MIN_SEQ = 1024
 
 
 def _attention(
@@ -514,11 +523,13 @@ def _attention(
 
     if (
         fresh_prefill
-        and seq >= 128
+        and seq >= _FLASH_MIN_SEQ
         and cfg.sliding_window is None
         and _flash_enabled()
     ):
-        # fused causal attention over the fresh chunk only (offset 0)
+        # fused causal attention over the fresh chunk only (offset 0);
+        # keep the activation dtype — fp32 casts forfeit the MXU's
+        # bf16 rate and double the kernel's HBM traffic
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention,
         )
@@ -528,9 +539,9 @@ def _attention(
         k_exp = jnp.repeat(k, group, axis=2) if group > 1 else k
         v_exp = jnp.repeat(v, group, axis=2) if group > 1 else v
         out = flash_attention(
-            q.transpose(0, 2, 1, 3).astype(jnp.float32),
-            k_exp.transpose(0, 2, 1, 3).astype(jnp.float32),
-            v_exp.transpose(0, 2, 1, 3).astype(jnp.float32),
+            q.transpose(0, 2, 1, 3),
+            k_exp.transpose(0, 2, 1, 3),
+            v_exp.transpose(0, 2, 1, 3),
             causal=True,
             sm_scale=hd ** -0.5,
         )
@@ -621,16 +632,32 @@ def _insert_kv(
 ) -> KVCache:
     """Write new K/V rows at each sequence's offset, in place.
 
-    Per-batch-row dynamic_update_slice directly on the layer's buffer
-    (a pytree element) — XLA aliases the buffer through the scan carry,
-    so no layer copies (batch is small and static; a vmap'd update here
-    lowers to gather/scatter copies instead).
+    Decode (seq == 1, the hot path) is ONE batched scatter per buffer:
+    row b lands at (b, lengths[b]) — trace size O(1) in batch, and XLA
+    scatters in place through the scan-carry alias. Prefill (seq > 1)
+    keeps per-row dynamic_update_slice; it is batch-1 in the serving
+    path (scheduler prefills each request on its own cache).
     """
     k_cache = cache.k[block_idx]
     v_cache = cache.v[block_idx]
     batch = k.shape[0]
     k = k.astype(k_cache.dtype)
     v = v.astype(v_cache.dtype)
+    if k.shape[1] == 1:
+        b_idx = jnp.arange(batch)
+        k_cache = k_cache.at[b_idx, cache.lengths].set(
+            k[:, 0], unique_indices=True, indices_are_sorted=True
+        )
+        v_cache = v_cache.at[b_idx, cache.lengths].set(
+            v[:, 0], unique_indices=True, indices_are_sorted=True
+        )
+        new_k = (
+            cache.k[:block_idx] + (k_cache,) + cache.k[block_idx + 1:]
+        )
+        new_v = (
+            cache.v[:block_idx] + (v_cache,) + cache.v[block_idx + 1:]
+        )
+        return KVCache(k=new_k, v=new_v, lengths=cache.lengths)
     for b in range(batch):
         off = cache.lengths[b]
         k_cache = jax.lax.dynamic_update_slice(

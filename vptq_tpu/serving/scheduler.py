@@ -15,7 +15,12 @@ Design:
     scans (one jit); inactive slots compute garbage into their own
     rows, which is masked by their lengths and overwritten on reuse;
   * host syncs only between chunks: stream tokens, retire EOS/finished
-    slots, admit pending requests.
+    slots, admit pending requests;
+  * admission is CHUNKED and interleaved with decode: each ``step()``
+    advances an in-flight admission by at most one prefill bucket,
+    then decodes the active slots — a long prompt being admitted never
+    stalls running requests for more than one bucket of prefill
+    (no head-of-line blocking).
 """
 
 from __future__ import annotations
@@ -51,6 +56,22 @@ class Request:
     # filled by the scheduler:
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+
+
+@dataclasses.dataclass
+class _Admission:
+    """An in-flight chunked prefill for one pending request.
+
+    Lives across ``step()`` calls so active slots keep decoding while
+    a long prompt prefills one bucket at a time.
+    """
+
+    req: Request
+    slot: int
+    done: int = 0  # prompt tokens prefilled so far
+    last_len: int = 0  # real tokens in the latest chunk
+    cache1: Optional[KVCache] = None
+    logits: Optional[jnp.ndarray] = None
 
 
 @functools.partial(
@@ -126,16 +147,23 @@ class Scheduler:
         self.finished: Dict[int, Request] = {}
         self._next_id = 0
         self._chunk_idx = 0
+        self._admitting: Optional[_Admission] = None
 
-        @functools.partial(jax.jit, static_argnames=("dtype",))
-        def _prefill_one(model, tokens, cache1, start, dtype=self.dtype):
+        @functools.partial(
+            jax.jit, static_argnames=("dtype", "fresh")
+        )
+        def _prefill_one(
+            model, tokens, cache1, start, dtype=self.dtype,
+            fresh=False,
+        ):
             if cache1 is None:
                 cache1 = init_cache(model.cfg, 1, self.max_seq, dtype)
             cache1 = cache1.replace(
                 lengths=jnp.full((1,), start, jnp.int32)
             )
             logits, cache1 = forward(
-                model, tokens, cache1, dtype=dtype
+                model, tokens, cache1, dtype=dtype,
+                fresh_prefill=fresh,
             )
             return logits, cache1
 
@@ -195,93 +223,119 @@ class Scheduler:
     def num_active(self) -> int:
         return sum(s is not None for s in self.slots)
 
-    def _admit(self) -> None:
+    def _free_slot(self) -> Optional[int]:
         for slot in range(self.max_batch):
-            if self.slots[slot] is not None or not self.pending:
-                continue
-            req = self.pending.popleft()
-            plen = len(req.prompt)
-            # chunked prefill (prompts may exceed the largest bucket)
-            max_bucket = self.prompt_buckets[-1]
-            done = 0
-            last_len = 0
-            cache1 = None
-            logits = None
-            if self.prefix_cache is not None:
-                done = self.prefix_cache.match(req.prompt)
-                if done:
-                    k, v = self.prefix_cache.gather(req.prompt, done)
-                    cache1 = init_cache(
-                        self.model.cfg, 1, self.max_seq, self.dtype
-                    )
-                    cache1 = KVCache(
-                        k=tuple(
-                            jax.lax.dynamic_update_slice(
-                                buf, k[i].astype(buf.dtype),
-                                (0, 0, 0, 0),
-                            )
-                            for i, buf in enumerate(cache1.k)
-                        ),
-                        v=tuple(
-                            jax.lax.dynamic_update_slice(
-                                buf, v[i].astype(buf.dtype),
-                                (0, 0, 0, 0),
-                            )
-                            for i, buf in enumerate(cache1.v)
-                        ),
-                        lengths=jnp.full((1,), done, jnp.int32),
-                    )
-            while done < plen:
-                chunk = req.prompt[done: done + max_bucket]
-                last_len = len(chunk)
-                bucket = next(
-                    (b for b in self.prompt_buckets if last_len <= b),
-                    max_bucket,
+            if self.slots[slot] is None:
+                return slot
+        return None
+
+    def _start_admission(self) -> None:
+        """Claim a free slot for the next pending request (if any)."""
+        if self._admitting is not None or not self.pending:
+            return
+        slot = self._free_slot()
+        if slot is None:
+            return
+        req = self.pending.popleft()
+        adm = _Admission(req=req, slot=slot)
+        if self.prefix_cache is not None:
+            done = self.prefix_cache.match(req.prompt)
+            if done:  # match() never covers the whole prompt
+                k, v = self.prefix_cache.gather(req.prompt, done)
+                cache1 = init_cache(
+                    self.model.cfg, 1, self.max_seq, self.dtype
                 )
-                padded = np.zeros(bucket, dtype=np.int32)
-                padded[:last_len] = chunk
-                logits, cache1 = self._prefill_one(
-                    self.model,
-                    jnp.asarray(padded)[None, :],
-                    cache1,
-                    jnp.asarray(done, jnp.int32),
+                adm.cache1 = KVCache(
+                    k=tuple(
+                        jax.lax.dynamic_update_slice(
+                            buf, k[i].astype(buf.dtype),
+                            (0, 0, 0, 0),
+                        )
+                        for i, buf in enumerate(cache1.k)
+                    ),
+                    v=tuple(
+                        jax.lax.dynamic_update_slice(
+                            buf, v[i].astype(buf.dtype),
+                            (0, 0, 0, 0),
+                        )
+                        for i, buf in enumerate(cache1.v)
+                    ),
+                    lengths=jnp.full((1,), done, jnp.int32),
                 )
-                done += last_len
-            if self.prefix_cache is not None:
-                self.prefix_cache.insert(
-                    req.prompt,
-                    jnp.stack([b[:, :plen] for b in cache1.k]),
-                    jnp.stack([b[:, :plen] for b in cache1.v]),
-                    plen,
-                )
-            first_logits = logits[0, last_len - 1]
-            if req.temperature > 0:
-                key = jax.random.PRNGKey(req.seed)
-                first = int(
-                    jax.random.categorical(
-                        key, first_logits / req.temperature
-                    )
-                )
-            else:
-                first = int(jnp.argmax(first_logits))
-            self.cache = self._insert_slot(
-                self.cache,
-                cache1.k,
-                cache1.v,
-                jnp.asarray(slot, jnp.int32),
-                jnp.asarray(plen, jnp.int32),
+                adm.done = done
+        self._admitting = adm
+
+    def _advance_admission(self) -> None:
+        """Run ONE prefill bucket of the in-flight admission.
+
+        Finishes the admission (samples the first token, installs the
+        slot) when the whole prompt has been prefilled. Bounded work
+        per call keeps decode latency of active slots independent of
+        admitted prompt lengths.
+        """
+        adm = self._admitting
+        if adm is None:
+            return
+        req = adm.req
+        plen = len(req.prompt)
+        max_bucket = self.prompt_buckets[-1]
+        chunk = req.prompt[adm.done: adm.done + max_bucket]
+        adm.last_len = len(chunk)
+        bucket = next(
+            (b for b in self.prompt_buckets if adm.last_len <= b),
+            max_bucket,
+        )
+        padded = np.zeros(bucket, dtype=np.int32)
+        padded[: adm.last_len] = chunk
+        adm.logits, adm.cache1 = self._prefill_one(
+            self.model,
+            jnp.asarray(padded)[None, :],
+            adm.cache1,
+            jnp.asarray(adm.done, jnp.int32),
+            fresh=(adm.done == 0),
+        )
+        adm.done += adm.last_len
+        if adm.done < plen:
+            return  # more buckets to go; decode runs in between
+
+        # ---- prefill complete: install the request into its slot
+        slot = adm.slot
+        if self.prefix_cache is not None:
+            self.prefix_cache.insert(
+                req.prompt,
+                jnp.stack([b[:, :plen] for b in adm.cache1.k]),
+                jnp.stack([b[:, :plen] for b in adm.cache1.v]),
+                plen,
             )
-            req.output.append(first)
-            if req.stream_callback:
-                req.stream_callback(req.req_id, first)
-            self.slots[slot] = req
-            self.last_tokens[slot] = first
-            self.temps[slot] = req.temperature
-            if (
-                req.eos_token_id is not None
-                and first == req.eos_token_id
-            ) or req.max_new_tokens <= 1:
-                self._retire(slot)
+        first_logits = adm.logits[0, adm.last_len - 1]
+        if req.temperature > 0:
+            key = jax.random.PRNGKey(req.seed)
+            first = int(
+                jax.random.categorical(
+                    key, first_logits / req.temperature
+                )
+            )
+        else:
+            first = int(jnp.argmax(first_logits))
+        self.cache = self._insert_slot(
+            self.cache,
+            adm.cache1.k,
+            adm.cache1.v,
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(plen, jnp.int32),
+        )
+        req.output.append(first)
+        if req.stream_callback:
+            req.stream_callback(req.req_id, first)
+        self.slots[slot] = req
+        self.last_tokens[slot] = first
+        self.temps[slot] = req.temperature
+        self._admitting = None
+        if (
+            req.eos_token_id is not None
+            and first == req.eos_token_id
+        ) or req.max_new_tokens <= 1:
+            self._retire(slot)
 
     def _retire(self, slot: int) -> None:
         req = self.slots[slot]
@@ -290,8 +344,12 @@ class Scheduler:
         self.slots[slot] = None
 
     def step(self) -> None:
-        """Admit pending requests and advance one decode chunk."""
-        self._admit()
+        """Advance one prefill bucket (if admitting) + one decode chunk."""
+        self._start_admission()
+        self._advance_admission()
+        # an admission that just completed frees the machinery for the
+        # next pending request (its first bucket runs next step)
+        self._start_admission()
         if self.num_active == 0:
             return
 
@@ -343,6 +401,6 @@ class Scheduler:
 
     def run(self) -> Dict[int, List[int]]:
         """Drive until all submitted requests complete."""
-        while self.pending or self.num_active:
+        while self.pending or self.num_active or self._admitting:
             self.step()
         return {rid: r.output for rid, r in self.finished.items()}
