@@ -1,0 +1,126 @@
+"""Deployment planner tests (VERDICT r1 item 1d).
+
+The headline capability check: a 70B-geometry (80 layers, 8192
+hidden) int4 model sharded 8-way must AOT-compile under the
+production PartitionSpecs with per-device weight bytes inside a v5e
+HBM budget — the zero-weight-byte dryrun of the reference's
+flagship "LLaMA-2 70B @ 2 bit on small devices" capability
+(reference README.md:124-125, 278).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vptq_tpu.models.llama import ModelConfig
+from vptq_tpu.tools.plan import (
+    GEOMETRIES,
+    abstract_runtime_model,
+    main,
+    validate_plan,
+)
+
+GiB = 1 << 30
+
+
+def _cfg(name):
+    return ModelConfig(
+        **{
+            **dict(tie_word_embeddings=False, model_type="llama"),
+            **GEOMETRIES[name],
+        }
+    )
+
+
+def test_cli_budget_fits():
+    assert (
+        main(["--geometry", "llama2-7b", "--format", "int4"]) == 0
+    )
+
+
+def test_cli_budget_over():
+    # 70B bf16 cannot fit 8 x 16 GiB chips
+    assert (
+        main(
+            [
+                "--geometry", "llama2-70b",
+                "--format", "bf16",
+                "--chips", "8",
+            ]
+        )
+        == 1
+    )
+
+
+def test_abstract_shapes_match_real_encoders(tmp_path):
+    """The planner's abstract model must track the real encoders'
+    shapes exactly — otherwise its compile/budget evidence is about
+    a model that doesn't exist."""
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.utils.synth_checkpoint import (
+        write_synthetic_checkpoint,
+    )
+
+    root = write_synthetic_checkpoint(str(tmp_path / "ckpt"))
+    for fmt in ("int8", "int4", "bf16"):
+        real = load_model(
+            str(root), runtime_format=fmt, quantize_lm_head=True
+        )
+        abstract = abstract_runtime_model(
+            real.cfg, fmt, quantize_lm_head=True
+        )
+        r_leaves = jax.tree_util.tree_leaves(real)
+        a_leaves = jax.tree_util.tree_leaves(abstract)
+        assert len(r_leaves) == len(a_leaves), fmt
+        for r, a in zip(r_leaves, a_leaves):
+            assert tuple(r.shape) == tuple(a.shape), (
+                fmt, r.shape, a.shape,
+            )
+            assert r.dtype == a.dtype, (fmt, r.dtype, a.dtype)
+
+
+@pytest.mark.slow
+def test_70b_int4_8way_aot_compiles():
+    """llama2-70b geometry, int4, sharded over an 8-device mesh:
+    the full decode step compiles and XLA's own memory analysis
+    puts per-device arguments well under a 16 GiB v5e (~4.7 GiB,
+    matching utils/memory.py's prediction)."""
+    from vptq_tpu.parallel.sharding import make_mesh
+    from vptq_tpu.utils import memory as hbm
+
+    cfg = _cfg("llama2-70b")
+    mesh = make_mesh(
+        data=1, model=8, devices=np.asarray(jax.devices()[:8])
+    )
+    compiled = validate_plan(cfg, "int4", mesh)
+    mem = compiled.memory_analysis()
+    assert mem is not None
+    per_dev_args = mem.argument_size_in_bytes
+    assert per_dev_args < 5.0 * GiB, per_dev_args / GiB
+    # planner's analytic estimate agrees with XLA (weights + kv)
+    est = hbm.estimate_model_bytes(cfg, "int4")
+    kv = hbm.kv_cache_bytes(cfg, 1, 2048)
+    predicted = (est["total"] + kv) / 8
+    assert abs(per_dev_args - predicted) / predicted < 0.15, (
+        per_dev_args / GiB, predicted / GiB,
+    )
+
+
+def test_mixtral_moe_plan_compiles_2way():
+    """MoE geometry goes through StackedExperts EP specs; a cheap
+    2-device compile at reduced depth keeps CI fast while covering
+    the MoE planning path."""
+    from vptq_tpu.parallel.sharding import make_mesh
+
+    g = dict(GEOMETRIES["mixtral-8x7b"])
+    g["num_hidden_layers"] = 2
+    cfg = ModelConfig(
+        **{**dict(tie_word_embeddings=False), **g}
+    )
+    mesh = make_mesh(
+        data=1, model=2, devices=np.asarray(jax.devices()[:2])
+    )
+    compiled = validate_plan(cfg, "int8", mesh, max_seq=256)
+    assert compiled.memory_analysis() is not None

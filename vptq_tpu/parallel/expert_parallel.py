@@ -42,6 +42,9 @@ def shard_stacked_experts(stacked, mesh: Mesh, axis: str = "model"):
     spec = NamedSharding(mesh, P(axis, None, None))
 
     def put(x):
+        if isinstance(x, jax.ShapeDtypeStruct):
+            # abstract mode (tools/plan.py AOT planning)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=spec)
         return jax.device_put(x, spec)
 
     return StackedExperts(

@@ -304,10 +304,18 @@ def main(argv=None) -> int:
         )
         mem = compiled.memory_analysis()
         if mem is not None:
+            note = ""
+            if jax.default_backend() != "tpu":
+                # XLA:CPU has no pallas kernels — its fallback graph
+                # dequantizes whole weight matrices per matmul, so
+                # temp bytes are wildly pessimistic vs the TPU graph
+                note = "  (temps = CPU-fallback graph; TPU keeps" \
+                       " weights packed in the pallas kernels)"
             print(
                 "XLA per-device: args "
                 f"{mem.argument_size_in_bytes / hbm.GiB:.2f} GiB, "
                 f"temps {mem.temp_size_in_bytes / hbm.GiB:.2f} GiB"
+                + note
             )
         print("decode step compiles under the plan mesh: OK")
     return 0
