@@ -1,0 +1,246 @@
+"""shard_map tensor parallelism (parallel/tp.py).
+
+The GSPMD spec path cannot partition pallas calls (XLA all-gathers
+the quantized weights around each kernel); these tests validate the
+Megatron-style shard_map path: local kernels + explicit psums, outputs
+matching the single-device forward.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vptq_tpu.models.llama import forward, init_cache
+from vptq_tpu.models.loader import load_model
+from vptq_tpu.parallel.sharding import make_mesh
+from vptq_tpu.parallel.tp import (
+    forward_tp,
+    shard_cache_tp,
+    tp_place_model,
+)
+from vptq_tpu.utils.synth_checkpoint import (
+    tiny_model_config,
+    write_synthetic_checkpoint,
+)
+
+
+def _mesh(n):
+    return make_mesh(
+        data=1, model=n, devices=np.asarray(jax.devices()[:n])
+    )
+
+
+def _load(tmp, fmt, **cfg_kw):
+    cfg = tiny_model_config(tie_word_embeddings=False, **cfg_kw)
+    root = write_synthetic_checkpoint(
+        str(tmp / f"ckpt_{fmt}"), cfg, seed=5
+    )
+    return load_model(str(root), runtime_format=fmt)
+
+
+def _run_pair(model, mesh, steps=3, prompt=(1, 7, 42, 9)):
+    """(single-device logits, TP logits) over a short greedy run."""
+    tokens = jnp.asarray([list(prompt)], jnp.int32)
+    cache0 = init_cache(model.cfg, 1, 32)
+    ref_logits, _ = forward(model, tokens, cache0)
+
+    model_tp, specs = tp_place_model(model, mesh)
+    cache_tp = shard_cache_tp(init_cache(model.cfg, 1, 32), mesh)
+    with mesh:
+        tp_logits, _ = forward_tp(
+            model_tp, tokens, cache_tp, specs, mesh
+        )
+    return np.asarray(ref_logits), np.asarray(tp_logits)
+
+
+class TestDense:
+    def test_bf16_matches_single_device(self, tmp_path):
+        model = _load(tmp_path, "bf16")
+        ref, tp = _run_pair(model, _mesh(2))
+        # exact weight slicing; partial products round to bf16 before
+        # the psum, so differences are a few bf16 ulps
+        np.testing.assert_allclose(ref, tp, atol=0.03)
+        assert np.argmax(ref[0, -1]) == np.argmax(tp[0, -1])
+
+    def test_bf16_4way(self, tmp_path):
+        model = _load(
+            tmp_path, "bf16",
+            num_attention_heads=4, num_key_value_heads=4,
+        )
+        ref, tp = _run_pair(model, _mesh(4))
+        np.testing.assert_allclose(ref, tp, atol=0.03)
+        assert np.argmax(ref[0, -1]) == np.argmax(tp[0, -1])
+
+
+class TestQuantized:
+    @pytest.mark.parametrize("fmt", ["int8", "int4"])
+    def test_matches_single_device(self, tmp_path, fmt):
+        model = _load(tmp_path, fmt)
+        ref, tp = _run_pair(model, _mesh(2))
+        # row-parallel layers are re-encoded per shard (different
+        # group boundaries) — same fidelity class, not bit-identical
+        cos = np.sum(ref * tp) / (
+            np.linalg.norm(ref) * np.linalg.norm(tp) + 1e-9
+        )
+        assert cos > 0.99, cos
+        assert (
+            np.argmax(ref[0, -1]) == np.argmax(tp[0, -1])
+        ), "greedy token changed under TP"
+
+    def test_int8_kernel_path_partitions(self, tmp_path):
+        """THE regression this module exists for: with the pallas
+        kernels forced on (interpret mode), the compiled TP step must
+        contain no weight-sized all-gathers — weights stay sharded
+        through the kernels."""
+        import importlib
+
+        quant_matmul = importlib.import_module(
+            "vptq_tpu.ops.quant_matmul"
+        )
+
+        model = _load(tmp_path, "int8")
+        mesh = _mesh(2)
+        model_tp, specs = tp_place_model(model, mesh)
+        cache = shard_cache_tp(init_cache(model.cfg, 1, 32), mesh)
+        tokens = jnp.asarray([[1, 2]], jnp.int32)
+
+        os.environ["VPTQ_TPU_PALLAS_INTERPRET"] = "1"
+        quant_matmul.set_default_impl("pallas")
+        try:
+            with mesh:
+                lowered = forward_tp.lower(
+                    model_tp, tokens, cache, specs, mesh
+                )
+                compiled = lowered.compile()
+                tp_logits, _ = forward_tp(
+                    model_tp, tokens, cache, specs, mesh
+                )
+        finally:
+            quant_matmul.set_default_impl("auto")
+            os.environ.pop("VPTQ_TPU_PALLAS_INTERPRET", None)
+
+        hlo = compiled.as_text()
+        import re
+
+        # any all-gather of an int8 operand would be a weight gather
+        for m in re.finditer(r"all-gather[^\n]*", hlo):
+            assert "s8[" not in m.group(0), m.group(0)
+
+        ref_logits, _ = forward(
+            model, tokens, init_cache(model.cfg, 1, 32)
+        )
+        ref, tp = np.asarray(ref_logits), np.asarray(tp_logits)
+        cos = np.sum(ref * tp) / (
+            np.linalg.norm(ref) * np.linalg.norm(tp) + 1e-9
+        )
+        assert cos > 0.99, cos
+
+
+class TestMoE:
+    def test_mixtral_style_matches_single_device(self, tmp_path):
+        model = _load(
+            tmp_path, "int8",
+            model_type="mixtral", num_local_experts=4,
+            num_experts_per_tok=2,
+        )
+        ref, tp = _run_pair(model, _mesh(2))
+        cos = np.sum(ref * tp) / (
+            np.linalg.norm(ref) * np.linalg.norm(tp) + 1e-9
+        )
+        assert cos > 0.99, cos
+
+
+class TestLoaderIntegration:
+    def test_load_model_parallel_tp(self, tmp_path):
+        """load_model(mesh=..., parallel='tp') encodes row-parallel
+        layers blocked straight from the exact weights and places
+        everything; tp_specs derives the shard_map specs from the
+        placed arrays."""
+        from vptq_tpu.parallel.tp import tp_specs
+
+        cfg = tiny_model_config(tie_word_embeddings=False)
+        root = write_synthetic_checkpoint(
+            str(tmp_path / "ckpt"), cfg, seed=5
+        )
+        mesh = _mesh(2)
+        model_tp = load_model(
+            str(root), runtime_format="int8", mesh=mesh,
+            parallel="tp",
+        )
+        specs = tp_specs(model_tp)
+        tokens = jnp.asarray([[1, 7, 42, 9]], jnp.int32)
+        cache = shard_cache_tp(
+            init_cache(model_tp.cfg, 1, 32), mesh
+        )
+        with mesh:
+            tp_logits, _ = forward_tp(
+                model_tp, tokens, cache, specs, mesh
+            )
+        ref = load_model(str(root), runtime_format="int8")
+        ref_logits, _ = forward(
+            ref, tokens, init_cache(ref.cfg, 1, 32)
+        )
+        a, b = np.asarray(ref_logits), np.asarray(tp_logits)
+        cos = np.sum(a * b) / (
+            np.linalg.norm(a) * np.linalg.norm(b) + 1e-9
+        )
+        assert cos > 0.99, cos
+        assert np.argmax(a[0, -1]) == np.argmax(b[0, -1])
+
+    def test_load_model_tp_rejects_bad(self, tmp_path):
+        cfg = tiny_model_config(tie_word_embeddings=False)
+        root = write_synthetic_checkpoint(
+            str(tmp_path / "ckpt"), cfg, seed=5
+        )
+        with pytest.raises(ValueError, match="divide TP size"):
+            load_model(
+                str(root), runtime_format="int8", mesh=_mesh(8),
+                parallel="tp",
+            )
+
+
+class TestValidation:
+    def test_rejects_bad_divisibility(self, tmp_path):
+        model = _load(tmp_path, "bf16")  # nkv=2, mesh model=8
+        with pytest.raises(ValueError, match="divide TP size"):
+            tp_place_model(model, _mesh(8))
+
+    def test_decode_after_prefill(self, tmp_path):
+        """Multi-step: prefill then two decode steps, cache carried
+        sharded between calls, greedy tokens match single-device."""
+        model = _load(tmp_path, "bf16")
+        mesh = _mesh(2)
+        model_tp, specs = tp_place_model(model, mesh)
+
+        tokens = jnp.asarray([[3, 1, 4]], jnp.int32)
+        cache_ref = init_cache(model.cfg, 1, 32)
+        cache_tp = shard_cache_tp(init_cache(model.cfg, 1, 32), mesh)
+
+        logits_ref, cache_ref = forward(model, tokens, cache_ref)
+        with mesh:
+            logits_tp, cache_tp = forward_tp(
+                model_tp, tokens, cache_tp, specs, mesh
+            )
+        for _ in range(2):
+            nxt_ref = jnp.argmax(logits_ref[:, -1:], axis=-1).astype(
+                jnp.int32
+            )
+            nxt_tp = jnp.argmax(logits_tp[:, -1:], axis=-1).astype(
+                jnp.int32
+            )
+            np.testing.assert_array_equal(
+                np.asarray(nxt_ref), np.asarray(nxt_tp)
+            )
+            logits_ref, cache_ref = forward(model, nxt_ref, cache_ref)
+            with mesh:
+                logits_tp, cache_tp = forward_tp(
+                    model_tp, nxt_tp, cache_tp, specs, mesh
+                )
+        np.testing.assert_allclose(
+            np.asarray(logits_ref), np.asarray(logits_tp), atol=0.03
+        )

@@ -268,17 +268,36 @@ def _exact_weight(layer: VQLinear, dtype=jnp.float32) -> "np.ndarray":
     )
 
 
-def to_int8(layer: VQLinear, group: Optional[int] = None) -> Int8Linear:
-    """Exact dequant → symmetric per-(row, group) int8 re-encode.
+def _encode_int8(
+    w, bias, group: Optional[int] = None, shards: int = 1
+) -> Int8Linear:
+    """f32 (out, in) numpy weight → Int8Linear (host arrays).
 
-    Returns HOST (numpy) arrays: device placement — single-chip upload
-    or direct sharded ``device_put`` onto a mesh — is the caller's one
-    explicit step (``models/loader.py``), so a 70B model never needs to
-    exist unsharded on one chip.
+    ``shards > 1`` produces the BLOCKED layout for shard_map tensor
+    parallelism (parallel/tp.py): the in axis is split into ``shards``
+    contiguous column blocks and each block is encoded independently
+    (its own group size and zero-padding), so slicing the result into
+    ``shards`` equal column chunks yields ``shards`` self-contained
+    Int8Linear shards — each device's local kernel sees a standard
+    int8 layout with no cross-shard scale groups.
     """
     import numpy as np
 
-    w = _exact_weight(layer)  # numpy f32 (out, in)
+    if shards > 1:
+        pad = (-w.shape[1]) % shards
+        if pad:
+            w = np.pad(w, ((0, 0), (0, pad)))
+        blk = w.shape[1] // shards
+        parts = [
+            _encode_int8(w[:, s * blk: (s + 1) * blk], None, group)
+            for s in range(shards)
+        ]
+        return Int8Linear(
+            wq=np.concatenate([p.wq for p in parts], axis=1),
+            scales=np.concatenate([p.scales for p in parts], axis=0),
+            bias=bias,
+        )
+
     group = group or pick_group(w.shape[1])
     pad = (-w.shape[1]) % group
     if pad:
@@ -287,12 +306,13 @@ def to_int8(layer: VQLinear, group: Optional[int] = None) -> Int8Linear:
 
     from vptq_tpu import native
 
-    if native.available():
-        got = native.int8_group_quant(
+    got = (
+        native.int8_group_quant(
             np.ascontiguousarray(w, np.float32), group
         )
-    else:
-        got = None
+        if native.available()
+        else None
+    )
     if got is not None:
         q, scale = got
     else:
@@ -306,9 +326,20 @@ def to_int8(layer: VQLinear, group: Optional[int] = None) -> Int8Linear:
         ).astype(np.int8)
     return Int8Linear(
         wq=np.ascontiguousarray(q.reshape(out_f, in_p)),
-        scales=np.ascontiguousarray(scale.T),
-        bias=layer.bias,
+        scales=np.ascontiguousarray(scale.reshape(out_f, -1).T),
+        bias=bias,
     )
+
+
+def to_int8(layer: VQLinear, group: Optional[int] = None) -> Int8Linear:
+    """Exact dequant → symmetric per-(row, group) int8 re-encode.
+
+    Returns HOST (numpy) arrays: device placement — single-chip upload
+    or direct sharded ``device_put`` onto a mesh — is the caller's one
+    explicit step (``models/loader.py``), so a 70B model never needs to
+    exist unsharded on one chip.
+    """
+    return _encode_int8(_exact_weight(layer), layer.bias, group)
 
 
 def dense_to_int8(
@@ -319,51 +350,69 @@ def dense_to_int8(
     import jax
     import numpy as np
 
-    w = np.asarray(
-        jax.device_get(layer.weight), np.float32
-    )
-    group = group or pick_group(w.shape[1])
-    pad = (-w.shape[1]) % group
-    if pad:
-        w = np.pad(w, ((0, 0), (0, pad)))
-    out_f, in_p = w.shape
-
-    from vptq_tpu import native
-
-    got = (
-        native.int8_group_quant(np.ascontiguousarray(w), group)
-        if native.available()
-        else None
-    )
-    if got is not None:
-        q, scale = got
-    else:
-        g = w.reshape(out_f, in_p // group, group)
-        absmax = np.max(np.abs(g), axis=-1)
-        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(
-            np.float32
-        )
-        q = np.clip(
-            np.round(g / scale[:, :, None]), -127, 127
-        ).astype(np.int8).reshape(out_f, in_p)
-    return Int8Linear(
-        wq=np.ascontiguousarray(q.reshape(out_f, in_p)),
-        scales=np.ascontiguousarray(scale.T),
-        bias=layer.bias,
-    )
+    w = np.asarray(jax.device_get(layer.weight), np.float32)
+    return _encode_int8(w, layer.bias, group)
 
 
-def _encode_int4(w, bias) -> Int4Linear:
+def int8_weight(layer: Int8Linear) -> "np.ndarray":
+    """Exact f32 dequant of the int8 runtime layout (host)."""
+    import jax
+    import numpy as np
+
+    wq = np.asarray(jax.device_get(layer.wq))
+    s = np.asarray(jax.device_get(layer.scales), np.float32).T
+    group = wq.shape[1] // s.shape[1]
+    return (
+        wq.astype(np.float32).reshape(wq.shape[0], -1, group)
+        * s[:, :, None]
+    ).reshape(wq.shape)
+
+
+def int4_weight(layer: Int4Linear) -> "np.ndarray":
+    """Exact f32 dequant of the packed int4 runtime layout (host)."""
+    import jax
+    import numpy as np
+
+    from vptq_tpu.ops.packing import unpack_int4
+
+    q = unpack_int4(np.asarray(jax.device_get(layer.wq)))
+    s = np.asarray(jax.device_get(layer.scales), np.float32).T
+    return (
+        q.astype(np.float32).reshape(q.shape[0], -1, 128)
+        * s[:, :, None]
+    ).reshape(q.shape)
+
+
+def _encode_int4(w, bias, shards: int = 1) -> Int4Linear:
     """f32 (out, in) numpy weight → packed Int4Linear.
 
     Pads in_features to the kernel in_tile (2048) — see Int4Linear.
     The scale for each (row, 128-col) group is picked by an MSE-optimal
     grid search (ops.packing.quantize_int4 / native vptq_int4_quant).
+
+    ``shards > 1``: blocked layout for shard_map TP — each contiguous
+    column block is encoded (and nibble-packed) independently, padded
+    to 2048 per shard (see parallel/tp.py for the memory trade-off).
     """
     import numpy as np
 
     from vptq_tpu import native
     from vptq_tpu.ops.packing import pack_int4, quantize_int4
+
+    if shards > 1:
+        pad = (-w.shape[1]) % shards
+        if pad:
+            w = np.pad(w, ((0, 0), (0, pad)))
+        blk = w.shape[1] // shards
+        parts = [
+            _encode_int4(w[:, s * blk: (s + 1) * blk], None)
+            for s in range(shards)
+        ]
+        return Int4Linear(
+            wq=np.concatenate([p.wq for p in parts], axis=1),
+            scales=np.concatenate([p.scales for p in parts], axis=0),
+            bias=bias,
+        )
 
     pad = (-w.shape[1]) % 2048
     if pad:
@@ -406,17 +455,36 @@ def to_bf16(layer: VQLinear) -> DenseLinear:
     )
 
 
-def to_runtime(layer, fmt: str):
-    """Convert any linear to the requested runtime format."""
+def to_runtime(layer, fmt: str, row_shards: int = 1):
+    """Convert any linear to the requested runtime format.
+
+    ``row_shards > 1``: encode the in axis in BLOCKED form for
+    shard_map tensor parallelism (parallel/tp.py) — used by the
+    loader for row-parallel layers (o_proj / down_proj) so each
+    shard is quantized once, directly from the exact weights.
+    """
     if fmt not in RUNTIME_FORMATS:
         raise ValueError(f"unknown runtime format {fmt!r}")
     if not isinstance(layer, VQLinear):
         return layer  # dense stays dense
     if fmt == "codebook":
+        if row_shards > 1:
+            raise NotImplementedError(
+                "codebook format under shard_map TP: use the GSPMD "
+                "path (XLA partitions the gather fallback natively)"
+            )
         return layer
     if fmt == "int8":
+        if row_shards > 1:
+            return _encode_int8(
+                _exact_weight(layer), layer.bias, shards=row_shards
+            )
         return to_int8(layer)
     if fmt == "int4":
+        if row_shards > 1:
+            return _encode_int4(
+                _exact_weight(layer), layer.bias, shards=row_shards
+            )
         return to_int4(layer)
     return to_bf16(layer)
 

@@ -497,6 +497,7 @@ def _attention(
     cache: KVCache,
     cfg: ModelConfig,
     fresh_prefill: bool = False,
+    tp: Optional[Tuple[str, int]] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     batch, seq, _ = x.shape
     nh, nkv, hd = (
@@ -504,6 +505,12 @@ def _attention(
         cfg.num_key_value_heads,
         cfg.head_dim,
     )
+    if tp is not None:
+        # shard_map tensor parallelism (parallel/tp.py): this device
+        # computes its local heads; o_proj is row-parallel and the
+        # partial outputs are summed over the mesh axis below.
+        nh //= tp[1]
+        nkv //= tp[1]
 
     if attn.qkv_proj is not None:
         qkv = attn.qkv_proj(x)
@@ -546,12 +553,23 @@ def _attention(
             sm_scale=hd ** -0.5,
         )
         out = out.transpose(0, 2, 1, 3).reshape(batch, seq, nh * hd)
-        return attn.o_proj(out.astype(x.dtype)), new_cache
+        return _row_parallel_out(attn.o_proj, out, x.dtype, tp), new_cache
 
     out, new_cache = _cache_and_attend(
         block_idx, q, k, v, cache, cfg, scale=hd ** -0.5
     )
-    return attn.o_proj(out.astype(x.dtype)), new_cache
+    return _row_parallel_out(attn.o_proj, out, x.dtype, tp), new_cache
+
+
+def _row_parallel_out(proj, out, dtype, tp):
+    """Apply a row-parallel projection; under shard_map TP, psum the
+    partial products over the mesh axis (Megatron-style; the bias of a
+    row-parallel layer must live on exactly one shard — enforced at
+    placement time in parallel/tp.py)."""
+    y = proj(out.astype(dtype))
+    if tp is not None:
+        y = jax.lax.psum(y, tp[0])
+    return y
 
 
 def _decode_attend_blocks(
@@ -1090,16 +1108,58 @@ def _moe_mlp(moe: MoeMlp, x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _mlp(mlp, x: jnp.ndarray) -> jnp.ndarray:
+def _moe_mlp_tp(
+    moe: MoeMlp, x: jnp.ndarray, tp: Tuple[str, int]
+) -> jnp.ndarray:
+    """MoE block inside the whole-model shard_map TP forward: the
+    stacked expert arrays are already LOCAL (expert-sharded at
+    placement, parallel/tp.py); route replicated, evaluate local
+    experts, psum (parallel.expert_parallel.moe_local)."""
+    from vptq_tpu.parallel.expert_parallel import moe_local
+
+    if moe.stacked is None:
+        raise NotImplementedError(
+            "shard_map TP MoE needs stacked experts (fuse_model)"
+        )
+    logits = moe.router(x).astype(jnp.float32)  # (..., E) global
+    k = moe.num_experts_per_tok
+    top_w, top_ids = jax.lax.top_k(logits, k)
+    top_w = jax.nn.softmax(top_w, axis=-1)
+    return moe_local(
+        moe.stacked, x, top_ids.astype(jnp.int32), top_w,
+        logits.shape[-1], tp[0],
+    ).astype(x.dtype)
+
+
+def _mlp(
+    mlp, x: jnp.ndarray, tp: Optional[Tuple[str, int]] = None
+) -> jnp.ndarray:
     if isinstance(mlp, MoeMlp):
+        if tp is not None:
+            return _moe_mlp_tp(mlp, x, tp)
         return _moe_mlp(mlp, x)
     if isinstance(mlp, DeepseekMoe):
+        if tp is not None:
+            raise NotImplementedError(
+                "DeepseekMoe under shard_map TP: use the GSPMD path "
+                "(parallel.sharding.shard_model)"
+            )
         return _deepseek_moe(mlp, x)
     if mlp.gate_up_proj is not None:
+        # under TP the fused gate|up rows are permuted at placement
+        # time so each shard holds [gate_d | up_d] — the local split
+        # below is then correct (parallel/tp.py _fused_gate_up_perm)
         gu = mlp.gate_up_proj(x)
         gate, up = jnp.split(gu, 2, axis=-1)
-        return mlp.down_proj(jax.nn.silu(gate) * up)
-    return mlp.down_proj(jax.nn.silu(mlp.gate_proj(x)) * mlp.up_proj(x))
+        return _row_parallel_out(
+            mlp.down_proj, jax.nn.silu(gate) * up, x.dtype, tp
+        )
+    return _row_parallel_out(
+        mlp.down_proj,
+        jax.nn.silu(mlp.gate_proj(x)) * mlp.up_proj(x),
+        x.dtype,
+        tp,
+    )
 
 
 def forward(
@@ -1108,10 +1168,18 @@ def forward(
     cache: KVCache,
     dtype=jnp.bfloat16,
     fresh_prefill: bool = False,
+    tp: Optional[Tuple[str, int]] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder over ``tokens`` starting at ``cache.lengths``.
 
     Returns (logits (B, S, vocab) fp32, updated cache).
+
+    ``tp=(axis_name, size)``: the function body is running INSIDE a
+    ``shard_map`` over a mesh axis (parallel/tp.py forward_tp) with
+    Megatron tensor-parallel placement — this device computes its
+    local heads / expert / vocab shard and the row-parallel outputs
+    are psum'd over ICI. Never set directly; use
+    ``parallel.tp.forward_tp``.
     """
     cfg = model.cfg
     batch, seq = tokens.shape
@@ -1126,21 +1194,32 @@ def forward(
     for i, block in enumerate(model.blocks):
         h = rms_norm(x, block.input_layernorm, cfg.rms_norm_eps)
         if isinstance(block.attn, MlaAttention):
+            if tp is not None:
+                raise NotImplementedError(
+                    "MLA under shard_map TP: use the GSPMD path"
+                )
             attn_out, cache = _mla_attention(
                 i, block.attn, h, cos, sin, cache, cfg,
             )
         else:
             attn_out, cache = _attention(
                 i, block.attn, h, cos, sin, cache, cfg,
-                fresh_prefill=fresh_prefill,
+                fresh_prefill=fresh_prefill, tp=tp,
             )
         x = x + attn_out
         h = rms_norm(x, block.post_attention_layernorm, cfg.rms_norm_eps)
-        x = x + _mlp(block.mlp, h)
+        x = x + _mlp(block.mlp, h, tp=tp)
 
     x = rms_norm(x, model.norm, cfg.rms_norm_eps)
     if model.lm_head is not None:
         logits = model.lm_head(x)
+        if tp is not None:
+            # lm_head is column-parallel: gather the vocab shards
+            # (one (B, S, V/n) f32 all-gather per step — tiny next to
+            # the weight traffic it avoids)
+            logits = jax.lax.all_gather(
+                logits, tp[0], axis=logits.ndim - 1, tiled=True
+            )
     else:
         logits = jnp.dot(
             x,

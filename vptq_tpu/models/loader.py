@@ -284,10 +284,18 @@ def load_model(
     fuse: bool = True,
     quantize_lm_head: bool = False,
     mesh=None,
+    parallel: str = "gspmd",
     hbm_gb: Optional[float] = None,
     hbm_utilization: float = 0.9,
 ) -> Model:
     """Load a VPTQ HF checkpoint directory into a :class:`Model`.
+
+    ``parallel`` (with ``mesh``): "gspmd" annotates GSPMD sharding
+    specs (parallel/sharding.py — right for the XLA/codebook paths);
+    "tp" places Megatron shard_map tensor parallelism
+    (parallel/tp.py — the TPU pallas-kernel path; row-parallel layers
+    are encoded blocked, straight from the exact weights, and the
+    model must be driven through ``parallel.tp.forward_tp``).
 
     ``runtime_format``: "codebook" keeps compressed VQ layers (exact,
     minimal memory, slow matmul); "int8" / "bf16" re-encode each layer
@@ -369,13 +377,33 @@ def load_model(
             " GiB weights)",
         )
 
+    tp_mode = mesh is not None and parallel == "tp"
+    if mesh is not None and parallel not in ("gspmd", "tp"):
+        raise ValueError(f"parallel must be 'gspmd' or 'tp', not {parallel!r}")
+    if tp_mode:
+        from vptq_tpu.parallel.tp import tp_validate
+
+        tp_size = int(mesh.shape["model"])
+        tp_validate(
+            model_cfg, tp_size,
+            sharded_lm_head=not model_cfg.tie_word_embeddings,
+        )
+        if model_cfg.is_mla:
+            raise NotImplementedError(
+                "MLA under shard_map TP: use parallel='gspmd'"
+            )
+    else:
+        tp_size = 1
+
     state = load_state_dict(str(root))
 
     from vptq_tpu.layers.runtime import to_runtime
 
-    def lin(prefix):
+    def lin(prefix, row: bool = False):
         return to_runtime(
-            _linear(prefix, state, qcfg, dtype), runtime_format
+            _linear(prefix, state, qcfg, dtype),
+            runtime_format,
+            row_shards=tp_size if (row and tp_mode) else 1,
         )
 
     # phi3-style checkpoints store qkv and gate|up already fused
@@ -478,6 +506,11 @@ def load_model(
             shard_block,
             shard_linear,
         )
+    if tp_mode:
+        from vptq_tpu.parallel.tp import (
+            _col_parallel as _tp_col,
+            tp_place_block,
+        )
 
     blocks = []
     for i in range(model_cfg.num_hidden_layers):
@@ -488,12 +521,12 @@ def load_model(
         elif fused_ckpt:
             attn = Attention(
                 q_proj=None, k_proj=None, v_proj=None,
-                o_proj=lin(f"{p}.self_attn.o_proj"),
+                o_proj=lin(f"{p}.self_attn.o_proj", row=True),
                 qkv_proj=lin(f"{p}.self_attn.qkv_proj"),
             )
             mlp = Mlp(
                 gate_proj=None, up_proj=None,
-                down_proj=lin(f"{p}.mlp.down_proj"),
+                down_proj=lin(f"{p}.mlp.down_proj", row=True),
                 gate_up_proj=lin(f"{p}.mlp.gate_up_proj"),
             )
         else:
@@ -501,7 +534,7 @@ def load_model(
                 q_proj=lin(f"{p}.self_attn.q_proj"),
                 k_proj=lin(f"{p}.self_attn.k_proj"),
                 v_proj=lin(f"{p}.self_attn.v_proj"),
-                o_proj=lin(f"{p}.self_attn.o_proj"),
+                o_proj=lin(f"{p}.self_attn.o_proj", row=True),
             )
             if moe:
                 mlp = moe_mlp(p)
@@ -509,7 +542,7 @@ def load_model(
                 mlp = Mlp(
                     gate_proj=lin(f"{p}.mlp.gate_proj"),
                     up_proj=lin(f"{p}.mlp.up_proj"),
-                    down_proj=lin(f"{p}.mlp.down_proj"),
+                    down_proj=lin(f"{p}.mlp.down_proj", row=True),
                 )
         block = Block(
             input_layernorm=state.pop(
@@ -523,7 +556,15 @@ def load_model(
         )
         if do_fuse:
             block = fuse_block(block)
-        if mesh is not None:
+        if tp_mode:
+            # sharded ingestion, shard_map placement: row-parallel
+            # layers arrive pre-blocked from lin(row=True); this
+            # permutes fused projections and device_puts the block
+            block, _ = tp_place_block(
+                block, mesh, "model", model_cfg,
+                reencode_rows=False,
+            )
+        elif mesh is not None:
             # sharded ingestion: this block's host arrays are
             # device_put onto the mesh NOW and freed on the host —
             # peak host/chip memory is one block, not the model
@@ -550,7 +591,10 @@ def load_model(
         embed = _replicated(embed, mesh)
         norm = _replicated(norm, mesh)
         if lm_head is not None:
-            lm_head = shard_linear(lm_head, mesh, True)
+            if tp_mode:
+                lm_head, _ = _tp_col(lm_head, mesh, "model")
+            else:
+                lm_head = shard_linear(lm_head, mesh, True)
         return Model(
             embed_tokens=embed,
             blocks=tuple(blocks),

@@ -23,7 +23,52 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 shard_map = jax.shard_map  # jax >= 0.9 top-level API
 
-__all__ = ["moe_forward_ep", "shard_stacked_experts"]
+__all__ = ["moe_forward_ep", "moe_local", "shard_stacked_experts"]
+
+
+def moe_local(
+    stacked_local,
+    x: jnp.ndarray,  # (..., hidden) — replicated over the EP axis
+    top_ids: jnp.ndarray,  # (..., k) int32 — GLOBAL expert ids
+    top_w: jnp.ndarray,  # (..., k) f32
+    num_experts: int,  # global expert count
+    axis: str,
+) -> jnp.ndarray:
+    """Per-device EP body: evaluate this shard's local experts only
+    and ``psum`` the partials. Must run inside a ``shard_map`` over
+    ``axis`` (used by :func:`moe_forward_ep` and the whole-model TP
+    forward, parallel/tp.py)."""
+    from vptq_tpu.models.llama import (
+        _MOE_FAST_MAX_TOKENS,
+        _moe_dense_mix,
+        _moe_fast,
+    )
+
+    e_local = stacked_local.gate_up_wq.shape[0]
+    n_tokens = 1
+    for d in x.shape[:-1]:
+        n_tokens *= d
+    shard = jax.lax.axis_index(axis)
+    lo = (shard * e_local).astype(jnp.int32)
+    if n_tokens <= _MOE_FAST_MAX_TOKENS:
+        # decode: non-local (token, k) pairs are remapped to local
+        # expert 0 with zero routing weight — every device runs the
+        # same static pair grid, reading at most n*k expert tiles
+        mine = jnp.logical_and(top_ids >= lo, top_ids < lo + e_local)
+        ids = jnp.where(mine, top_ids - lo, 0)
+        ws = jnp.where(mine, top_w, 0.0)
+        out = _moe_fast(stacked_local, x, ids, ws).astype(jnp.float32)
+    else:
+        mix = jnp.sum(
+            jax.nn.one_hot(top_ids, num_experts, dtype=jnp.float32)
+            * top_w[..., None].astype(jnp.float32),
+            axis=-2,
+        )  # (..., E)
+        mix_local = jax.lax.dynamic_slice_in_dim(
+            mix, lo, e_local, axis=-1
+        )
+        out = _moe_dense_mix((), stacked_local, x, mix_local)
+    return jax.lax.psum(out, axis)
 
 
 def shard_stacked_experts(stacked, mesh: Mesh, axis: str = "model"):
@@ -75,51 +120,20 @@ def moe_forward_ep(
     device runs the dense all-experts loop over its LOCAL experts with
     the (..., E) mix weights sliced to its shard, then ``psum``.
     """
-    from vptq_tpu.models.llama import (
-        _MOE_FAST_MAX_TOKENS,
-        StackedExperts,
-        _moe_dense_mix,
-        _moe_fast,
-    )
+    from vptq_tpu.models.llama import StackedExperts
 
     n_shards = mesh.shape[axis]
     if num_experts % n_shards:
         raise ValueError(
             f"experts {num_experts} must divide EP shards {n_shards}"
         )
-    e_local = num_experts // n_shards
-    n_tokens = 1
-    for d in x.shape[:-1]:
-        n_tokens *= d
-    use_fast = n_tokens <= _MOE_FAST_MAX_TOKENS
 
     def body(gu_wq, gu_s, d_wq, d_s, x, top_ids, top_w):
-        shard = jax.lax.axis_index(axis)
-        lo = (shard * e_local).astype(jnp.int32)
         local = StackedExperts(
             gate_up_wq=gu_wq, gate_up_scales=gu_s,
             down_wq=d_wq, down_scales=d_s, fmt=stacked.fmt,
         )
-        if use_fast:
-            mine = jnp.logical_and(
-                top_ids >= lo, top_ids < lo + e_local
-            )
-            ids = jnp.where(mine, top_ids - lo, 0)
-            ws = jnp.where(mine, top_w, 0.0)
-            out = _moe_fast(local, x, ids, ws).astype(jnp.float32)
-        else:
-            mix = jnp.sum(
-                jax.nn.one_hot(
-                    top_ids, num_experts, dtype=jnp.float32
-                )
-                * top_w[..., None].astype(jnp.float32),
-                axis=-2,
-            )  # (..., E)
-            mix_local = jax.lax.dynamic_slice_in_dim(
-                mix, lo, e_local, axis=-1
-            )
-            out = _moe_dense_mix((), local, x, mix_local)
-        return jax.lax.psum(out, axis)
+        return moe_local(local, x, top_ids, top_w, num_experts, axis)
 
     wspec = P(axis, None, None)
     out = shard_map(
