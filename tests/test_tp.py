@@ -204,6 +204,37 @@ class TestLoaderIntegration:
             )
 
 
+class TestGenerator:
+    def test_generator_tp_matches_single_device(self, tmp_path):
+        """End-to-end serving path under TP: Generator(mesh=...) with
+        a load_model(parallel='tp') model reproduces the single-device
+        greedy tokens."""
+        from vptq_tpu.serving import Generator
+
+        cfg = tiny_model_config(tie_word_embeddings=False)
+        root = write_synthetic_checkpoint(
+            str(tmp_path / "ckpt"), cfg, seed=5
+        )
+        mesh = _mesh(2)
+        model_tp = load_model(
+            str(root), runtime_format="int8", mesh=mesh,
+            parallel="tp",
+        )
+        gen_tp = Generator(
+            model_tp, max_seq=64, prompt_buckets=(16,), mesh=mesh
+        )
+        out_tp = gen_tp.generate([1, 2, 3, 4, 5], max_new_tokens=12)
+
+        ref = load_model(str(root), runtime_format="int8")
+        gen = Generator(ref, max_seq=64, prompt_buckets=(16,))
+        out = gen.generate([1, 2, 3, 4, 5], max_new_tokens=12)
+        assert out_tp == out
+        # determinism across repeat runs
+        assert out_tp == gen_tp.generate(
+            [1, 2, 3, 4, 5], max_new_tokens=12
+        )
+
+
 class TestValidation:
     def test_rejects_bad_divisibility(self, tmp_path):
         model = _load(tmp_path, "bf16")  # nkv=2, mesh model=8

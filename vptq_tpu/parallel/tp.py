@@ -459,6 +459,7 @@ def shard_cache_tp(cache: KVCache, mesh: Mesh, axis: str = "model"):
 @functools.partial(
     jax.jit,
     static_argnames=("specs", "mesh", "axis", "dtype", "fresh_prefill"),
+    donate_argnums=(2,),
 )
 def forward_tp(
     model_tp: Model,

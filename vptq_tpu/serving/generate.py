@@ -19,7 +19,7 @@ import numpy as np
 
 from vptq_tpu.models.llama import KVCache, Model, forward, init_cache
 
-__all__ = ["Generator", "decode_loop"]
+__all__ = ["Generator", "decode_loop", "decode_loop_tp"]
 
 
 @functools.partial(
@@ -54,6 +54,69 @@ def decode_loop(
     return toks, cache
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("specs", "mesh", "axis", "steps", "dtype"),
+    donate_argnums=(2,),
+)
+def decode_loop_tp(
+    model: Model,
+    first_token: jnp.ndarray,  # (B,) int32
+    cache: KVCache,
+    key: jnp.ndarray,
+    temperature: jnp.ndarray,
+    *,
+    specs,
+    mesh,
+    axis: str = "model",
+    steps: int,
+    dtype=jnp.bfloat16,
+):
+    """``decode_loop`` under shard_map tensor parallelism: the whole
+    scan runs in manual-mesh mode so every kernel call stays local and
+    the per-step collectives (psums + logits all-gather) ride ICI
+    inside the loop. Sampling sees replicated logits and a replicated
+    key — identical tokens on every device."""
+    from jax.sharding import PartitionSpec as P
+
+    from vptq_tpu.parallel.tp import cache_tp_specs
+
+    size = mesh.shape[axis]
+    cache_specs = cache_tp_specs(cache, axis)
+
+    def local(model, first_token, cache, key, temperature):
+        def step(carry, _):
+            tok, cache, key = carry
+            logits, cache = forward(
+                model, tok[:, None], cache, dtype=dtype,
+                tp=(axis, size),
+            )
+            logits = logits[:, 0]
+            key, sub = jax.random.split(key)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            temp = jnp.maximum(temperature, 1e-6)
+            sampled = jax.random.categorical(
+                sub, logits / temp, axis=-1
+            )
+            nxt = jnp.where(
+                temperature > 0, sampled.astype(jnp.int32), greedy
+            )
+            return (nxt, cache, key), nxt
+
+        (last, cache2, _), toks = jax.lax.scan(
+            step, (first_token, cache, key), None, length=steps
+        )
+        return toks, cache2
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(specs, P(), cache_specs, P(), P()),
+        out_specs=(P(), cache_specs),
+        check_vma=False,
+    )(model, first_token, cache, key, temperature)
+
+
 def _pad_bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -72,25 +135,43 @@ class Generator:
         dtype=jnp.bfloat16,
         prompt_buckets: Sequence[int] = (128, 512, 2048),
         prefix_cache=None,  # serving.prefix_cache.PrefixCache
+        mesh=None,  # shard_map TP: model from load_model(parallel="tp")
     ):
         self.model = model
         self.max_seq = max_seq
         self.dtype = dtype
         self.prefix_cache = prefix_cache
+        self.mesh = mesh
         self.prompt_buckets = [b for b in prompt_buckets if b <= max_seq]
         if not self.prompt_buckets:
             self.prompt_buckets = [max_seq]
 
-        @functools.partial(
-            jax.jit, donate_argnums=(2,), static_argnames=("fresh",)
-        )
-        def _prefill(model, tokens, cache, fresh=False):
-            return forward(
-                model, tokens, cache, dtype=self.dtype,
-                fresh_prefill=fresh,
-            )
+        if mesh is not None:
+            from vptq_tpu.parallel.tp import forward_tp, tp_specs
 
-        self._prefill = _prefill
+            self._specs = tp_specs(model)
+
+            def _prefill(model, tokens, cache, fresh=False):
+                with mesh:
+                    return forward_tp(
+                        model, tokens, cache, self._specs, mesh,
+                        dtype=self.dtype, fresh_prefill=fresh,
+                    )
+
+            self._prefill = _prefill
+        else:
+            self._specs = None
+
+            @functools.partial(
+                jax.jit, donate_argnums=(2,), static_argnames=("fresh",)
+            )
+            def _prefill(model, tokens, cache, fresh=False):
+                return forward(
+                    model, tokens, cache, dtype=self.dtype,
+                    fresh_prefill=fresh,
+                )
+
+            self._prefill = _prefill
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def _write_prefix(cache, k, v, n):
@@ -138,6 +219,10 @@ class Generator:
             )
 
         cache = init_cache(self.model.cfg, 1, self.max_seq, self.dtype)
+        if self.mesh is not None:
+            from vptq_tpu.parallel.tp import shard_cache_tp
+
+            cache = shard_cache_tp(cache, self.mesh)
         # Prefill in bucket-sized chunks: each chunk is right-padded
         # into its bucket; pad positions are never attended to because
         # the cache length is rewound to the true length after each
@@ -194,15 +279,29 @@ class Generator:
         chunk_idx = 0
         while done < budget:
             steps = min(chunk_size, budget - done)
-            toks, cache = decode_loop(
-                self.model,
-                first,
-                cache,
-                jax.random.PRNGKey(seed + 1 + chunk_idx),
-                jnp.asarray(temperature, jnp.float32),
-                steps=steps,
-                dtype=self.dtype,
-            )
+            if self.mesh is not None:
+                with self.mesh:
+                    toks, cache = decode_loop_tp(
+                        self.model,
+                        first,
+                        cache,
+                        jax.random.PRNGKey(seed + 1 + chunk_idx),
+                        jnp.asarray(temperature, jnp.float32),
+                        specs=self._specs,
+                        mesh=self.mesh,
+                        steps=steps,
+                        dtype=self.dtype,
+                    )
+            else:
+                toks, cache = decode_loop(
+                    self.model,
+                    first,
+                    cache,
+                    jax.random.PRNGKey(seed + 1 + chunk_idx),
+                    jnp.asarray(temperature, jnp.float32),
+                    steps=steps,
+                    dtype=self.dtype,
+                )
             arr = np.asarray(toks)[:, 0].tolist()
             stop = None
             if eos_token_id is not None and eos_token_id in arr:
