@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -81,8 +82,12 @@ def test_int4_apply_matches_dequant_matmul():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
-def test_w4_matmul_interpret_matches_oracle():
-    """Pallas kernel (interpreter mode) vs host dequant matmul."""
+@pytest.mark.parametrize("in_tile", [256, 512, 1024])
+def test_w4_matmul_interpret_matches_oracle(in_tile):
+    """Pallas kernel (interpreter mode) vs host dequant matmul.
+
+    Covers the small in_tiles the shard_map TP blocked shards use
+    (scales are streamed pre-blocked per in-step)."""
     os.environ["VPTQ_TPU_PALLAS_INTERPRET"] = "1"
     try:
         from vptq_tpu.ops.pallas_gemm import w4_matmul
@@ -99,7 +104,7 @@ def test_w4_matmul_interpret_matches_oracle():
 
         got = np.asarray(
             w4_matmul(
-                x, packed, scales, out_tile=256, in_tile=512,
+                x, packed, scales, out_tile=256, in_tile=in_tile,
                 out_dtype=jnp.float32,
             )
         )

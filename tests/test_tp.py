@@ -192,6 +192,35 @@ class TestLoaderIntegration:
         assert cos > 0.99, cos
         assert np.argmax(a[0, -1]) == np.argmax(b[0, -1])
 
+    @pytest.mark.parametrize("fmt", ["int8", "int4"])
+    def test_tp_estimate_matches_actual(self, tmp_path, fmt):
+        """utils.memory.estimate_model_bytes(tp_shards=n) predicts the
+        blocked-encoding placement byte-exactly enough for budgeting."""
+        from vptq_tpu.utils import memory as hbm
+
+        cfg = tiny_model_config(tie_word_embeddings=False)
+        root = write_synthetic_checkpoint(
+            str(tmp_path / "ckpt"), cfg, seed=5
+        )
+        mesh = _mesh(2)
+        model_tp = load_model(
+            str(root), runtime_format=fmt, mesh=mesh, parallel="tp"
+        )
+        import json
+
+        with open(root / "config.json") as f:
+            qd = json.load(f)["quantization_config"]
+        from vptq_tpu.config import QuantizationConfig
+
+        est = hbm.estimate_model_bytes(
+            model_tp.cfg, fmt,
+            QuantizationConfig.from_dict(qd), tp_shards=2,
+        )
+        actual = hbm.model_bytes(model_tp)
+        assert abs(actual - est["total"]) / actual < 0.02, (
+            actual, est,
+        )
+
     def test_load_model_tp_rejects_bad(self, tmp_path):
         cfg = tiny_model_config(tie_word_embeddings=False)
         root = write_synthetic_checkpoint(

@@ -153,9 +153,9 @@ class Int4Linear:
             x = jnp.pad(x, pad)
 
         if use_pallas():
-            # in_tile 2048 always: the Mosaic lowering needs the
-            # per-step scale-row offset (j * in_tile/256) provably
-            # divisible by 8 — _encode_int4 pads in_features to 2048.
+            # in_tile: largest tile dividing in_padded (scales are
+            # pre-blocked per step, so any multiple of 256 works —
+            # shard_map TP shards pad to 512, single-device to 2048).
             # out_tile from the v5e sweep (examples/autotune_w4.py):
             # 2048 for wide outputs at decode token counts; 1024 at
             # prefill (the f32 accumulator + out double-buffer of a
@@ -169,9 +169,13 @@ class Int4Linear:
                 else (1024 if out_f >= 1024
                       else (512 if out_f >= 512 else 256))
             )
+            it = next(
+                t for t in (2048, 1024, 512, 256)
+                if in_padded % t == 0
+            )
             out = w4_matmul(
                 x, self.wq, self.scales,
-                out_tile=ot, in_tile=2048,
+                out_tile=ot, in_tile=it,
             )
         else:
             q = _unpack_int4_jnp(self.wq)
@@ -383,16 +387,20 @@ def int4_weight(layer: Int4Linear) -> "np.ndarray":
     ).reshape(q.shape)
 
 
-def _encode_int4(w, bias, shards: int = 1) -> Int4Linear:
+def _encode_int4(
+    w, bias, shards: int = 1, pad_to: int = 2048
+) -> Int4Linear:
     """f32 (out, in) numpy weight → packed Int4Linear.
 
-    Pads in_features to the kernel in_tile (2048) — see Int4Linear.
-    The scale for each (row, 128-col) group is picked by an MSE-optimal
-    grid search (ops.packing.quantize_int4 / native vptq_int4_quant).
+    Pads in_features to ``pad_to`` (a kernel in_tile multiple) — see
+    Int4Linear. The scale for each (row, 128-col) group is picked by
+    an MSE-optimal grid search (ops.packing.quantize_int4 / native
+    vptq_int4_quant).
 
     ``shards > 1``: blocked layout for shard_map TP — each contiguous
     column block is encoded (and nibble-packed) independently, padded
-    to 2048 per shard (see parallel/tp.py for the memory trade-off).
+    to 512 per shard (the kernel's minimum tile is 256; 512 keeps the
+    MXU dots wide while wasting at most 511 columns per shard).
     """
     import numpy as np
 
@@ -405,7 +413,9 @@ def _encode_int4(w, bias, shards: int = 1) -> Int4Linear:
             w = np.pad(w, ((0, 0), (0, pad)))
         blk = w.shape[1] // shards
         parts = [
-            _encode_int4(w[:, s * blk: (s + 1) * blk], None)
+            _encode_int4(
+                w[:, s * blk: (s + 1) * blk], None, pad_to=512
+            )
             for s in range(shards)
         ]
         return Int4Linear(
@@ -414,7 +424,7 @@ def _encode_int4(w, bias, shards: int = 1) -> Int4Linear:
             bias=bias,
         )
 
-    pad = (-w.shape[1]) % 2048
+    pad = (-w.shape[1]) % pad_to
     if pad:
         w = np.pad(w, ((0, 0), (0, pad)))
     got = (

@@ -441,7 +441,7 @@ W4_GROUP = 128  # int4 scale-group width along in_features
 
 
 def _w4_kernel(
-    xl_ref, xh_ref, w_ref, s_ref, o_ref, acc_ref,
+    xl_ref, xh_ref, w_ref, sl_ref, sh_ref, o_ref, acc_ref,
     *, n_in_tiles: int, s_half: int,
 ):
     """One int4 (out_tile, in_tile) grid step.
@@ -452,12 +452,14 @@ def _w4_kernel(
     two half-tiles contract against two x slices (xl/xh) fetched from
     opposite halves of the input. Per-(row, 128-col-subgroup) scales
     are applied on the partial accumulator of per-subgroup K=128
-    sub-dots (scale lane dims are too narrow for VMEM blocking, so the
-    full transposed scale array rides along and rows are sliced here).
+    sub-dots. The SAME scale array arrives through two BlockSpecs
+    whose index maps deliver this step's lo-half rows (sl) and
+    hi-half rows (sh) — zero-copy, no in-kernel dynamic slicing,
+    which lifts the old in_tile ≥ 2048 alignment floor down to 256.
 
     xl/xh: (T, I_T/2) bf16; w_ref: (O_T, I_T/2) int8 (packed);
-    s_ref: (S, O_T) bf16, S = in_p/128 (full, sliced per step);
-    o_ref: (T_T, O_T); acc_ref: (T_T, O_T) f32.
+    sl/sh_ref: (s_half, O_T) bf16; o_ref: (T_T, O_T);
+    acc_ref: (T_T, O_T) f32.
     """
     j = pl.program_id(2)
 
@@ -468,9 +470,8 @@ def _w4_kernel(
     lo = jnp.right_shift(jnp.left_shift(w, 28), 28)  # sign-ext low
     hi = jnp.right_shift(w, 4)  # arithmetic: sign-extended high
 
-    n_scale_rows = s_ref.shape[0]
-    sl = s_ref[pl.ds(j * s_half, s_half), :]  # (s_half, O_T)
-    sh = s_ref[pl.ds(n_scale_rows // 2 + j * s_half, s_half), :]
+    sl = sl_ref[:]  # (s_half, O_T)
+    sh = sh_ref[:]
 
     dims = (((1,), (1,)), ((), ()))
     part = jnp.zeros(acc_ref.shape, jnp.float32)
@@ -554,7 +555,10 @@ def w4_matmul(
     s_half = half // W4_GROUP
     out_dtype = out_dtype or x.dtype
 
-    n_scale_rows = in_features // W4_GROUP
+    # The scale array is passed TWICE with different index maps: one
+    # BlockSpec delivers this step's lo-half rows, the other its
+    # hi-half rows (offset n_in blocks = S/2 rows) — zero-copy, and
+    # only 2*s_half rows resident per step instead of all S.
     out = pl.pallas_call(
         functools.partial(
             _w4_kernel, n_in_tiles=n_in, s_half=s_half
@@ -573,8 +577,12 @@ def w4_matmul(
                 (out_tile, half), lambda t, i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(  # scales: all S rows for this out tile
-                (n_scale_rows, out_tile), lambda t, i, j: (0, i),
+            pl.BlockSpec(  # lo-half scale rows of step j
+                (s_half, out_tile), lambda t, i, j: (j, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # hi-half scale rows of step j
+                (s_half, out_tile), lambda t, i, j: (j + n_in, i),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -600,6 +608,7 @@ def w4_matmul(
         x2.astype(jnp.bfloat16),
         x2.astype(jnp.bfloat16),
         wq,
+        scales.astype(jnp.bfloat16),
         scales.astype(jnp.bfloat16),
     )
 

@@ -45,15 +45,26 @@ class HBMBudgetError(RuntimeError):
     """Raised when a model cannot fit the requested device budget."""
 
 
-def _int8_bytes(out_f: int, in_f: int) -> int:
+def _int8_bytes(out_f: int, in_f: int, row_shards: int = 1) -> int:
     from vptq_tpu.layers.runtime import pick_group
 
+    if row_shards > 1:
+        # shard_map TP blocked encoding: each column block is padded
+        # and grouped independently (runtime._encode_int8 shards=n)
+        blk = (in_f + row_shards - 1) // row_shards
+        return row_shards * _int8_bytes(out_f, blk)
     g = pick_group(in_f)
     in_p = in_f + ((-in_f) % g)
     return out_f * in_p + 4 * out_f * (in_p // g)
 
 
-def _int4_bytes(out_f: int, in_f: int) -> int:
+def _int4_bytes(out_f: int, in_f: int, row_shards: int = 1) -> int:
+    if row_shards > 1:
+        blk = (in_f + row_shards - 1) // row_shards
+        in_p = blk + ((-blk) % 512)  # per-shard pad (runtime)
+        return row_shards * (
+            out_f * in_p // 2 + 2 * out_f * (in_p // 128)
+        )
     in_p = in_f + ((-in_f) % 2048)
     return out_f * in_p // 2 + 2 * out_f * (in_p // 128)
 
@@ -89,17 +100,20 @@ def _codebook_bytes(cfg) -> int:
 
 
 def linear_runtime_bytes(
-    out_f: int, in_f: int, fmt: str, vq_cfg=None
+    out_f: int, in_f: int, fmt: str, vq_cfg=None,
+    row_shards: int = 1,
 ) -> int:
     """Bytes one linear occupies in runtime format ``fmt``.
 
     ``vq_cfg`` (a :class:`VQLinearConfig`) is required for
     ``fmt="codebook"``; dense layers under "codebook" stay bf16.
+    ``row_shards``: shard_map-TP blocked encoding of a row-parallel
+    layer (per-shard padding; see parallel/tp.py).
     """
     if fmt == "int8":
-        return _int8_bytes(out_f, in_f)
+        return _int8_bytes(out_f, in_f, row_shards)
     if fmt == "int4":
-        return _int4_bytes(out_f, in_f)
+        return _int4_bytes(out_f, in_f, row_shards)
     if fmt == "bf16":
         return 2 * out_f * in_f
     if fmt == "codebook":
@@ -220,23 +234,34 @@ def _lookup_geom(qcfg, tail: str, out_f: int, in_f: int):
     return fallback
 
 
+_ROW_PARALLEL_NAMES = ("o_proj", "down_proj")
+
+
 def estimate_model_bytes(
     cfg,
     fmt: str,
     qcfg=None,
     quantize_lm_head: bool = False,
+    tp_shards: int = 1,
 ) -> Dict[str, int]:
     """Predicted HBM bytes of a loaded model, from geometry alone.
 
     Returns a breakdown dict with a ``"total"`` key. ``qcfg`` (a
     :class:`QuantizationConfig`) selects which layers are quantized;
     layers without a quantization entry stay bf16 (same rule as the
-    loader).
+    loader). ``tp_shards > 1`` predicts the shard_map-TP placement
+    (``load_model(parallel="tp")``): row-parallel layers use the
+    blocked per-shard encoding, which pads each shard independently.
     """
     h = cfg.hidden_size
     out: Dict[str, int] = {}
     blocks = 0
     for g in model_geometry(cfg):
+        row_shards = (
+            tp_shards
+            if tp_shards > 1 and g.name in _ROW_PARALLEL_NAMES
+            else 1
+        )
         if qcfg is not None:
             vq = _lookup_geom(
                 qcfg, g.name, g.out_features, g.in_features
@@ -246,13 +271,14 @@ def estimate_model_bytes(
                 per = 2 * g.out_features * g.in_features
             else:
                 per = linear_runtime_bytes(
-                    g.out_features, g.in_features, fmt, vq
+                    g.out_features, g.in_features, fmt, vq,
+                    row_shards,
                 )
         else:
             # planning mode (no checkpoint yet): assume every block
             # linear carries the runtime format
             per = linear_runtime_bytes(
-                g.out_features, g.in_features, fmt, None
+                g.out_features, g.in_features, fmt, None, row_shards
             )
         blocks += per * g.count
     out["blocks"] = blocks
