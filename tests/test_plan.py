@@ -82,11 +82,13 @@ def test_abstract_shapes_match_real_encoders(tmp_path):
 
 
 @pytest.mark.slow
-def test_70b_int4_8way_aot_compiles():
+@pytest.mark.parametrize("parallel", ["tp", "gspmd"])
+def test_70b_int4_8way_aot_compiles(parallel):
     """llama2-70b geometry, int4, sharded over an 8-device mesh:
-    the full decode step compiles and XLA's own memory analysis
-    puts per-device arguments well under a 16 GiB v5e (~4.7 GiB,
-    matching utils/memory.py's prediction)."""
+    the full decode step compiles — through BOTH placements (the
+    shard_map Megatron serving path and the GSPMD spec path) — and
+    XLA's own memory analysis puts per-device arguments well under a
+    16 GiB v5e (~4.7 GiB, matching utils/memory.py's prediction)."""
     from vptq_tpu.parallel.sharding import make_mesh
     from vptq_tpu.utils import memory as hbm
 
@@ -94,13 +96,15 @@ def test_70b_int4_8way_aot_compiles():
     mesh = make_mesh(
         data=1, model=8, devices=np.asarray(jax.devices()[:8])
     )
-    compiled = validate_plan(cfg, "int4", mesh)
+    compiled = validate_plan(cfg, "int4", mesh, parallel=parallel)
     mem = compiled.memory_analysis()
     assert mem is not None
     per_dev_args = mem.argument_size_in_bytes
     assert per_dev_args < 5.0 * GiB, per_dev_args / GiB
     # planner's analytic estimate agrees with XLA (weights + kv)
-    est = hbm.estimate_model_bytes(cfg, "int4")
+    est = hbm.estimate_model_bytes(
+        cfg, "int4", tp_shards=8 if parallel == "tp" else 1
+    )
     kv = hbm.kv_cache_bytes(cfg, 1, 2048)
     predicted = (est["total"] + kv) / 8
     assert abs(per_dev_args - predicted) / predicted < 0.15, (

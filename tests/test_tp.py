@@ -233,6 +233,58 @@ class TestLoaderIntegration:
             )
 
 
+class TestDeepseek:
+    def test_mla_deepseek_moe_matches_single_device(self, tmp_path):
+        """DeepSeek-V3 family under shard_map TP: MLA heads
+        column-parallel, compressed projections replicated, routed
+        experts expert-sharded, shared experts Megatron-TP."""
+        from tests.test_deepseek import DS_CFG, VQ
+
+        cfg = tiny_model_config(**DS_CFG)
+        root = write_synthetic_checkpoint(
+            str(tmp_path / "ckpt"), cfg, vq_kwargs=VQ, seed=21
+        )
+        model = load_model(str(root), runtime_format="int8")
+        ref, tp = _run_pair(model, _mesh(2))
+        cos = np.sum(ref * tp) / (
+            np.linalg.norm(ref) * np.linalg.norm(tp) + 1e-9
+        )
+        assert cos > 0.99, cos
+        assert np.argmax(ref[0, -1]) == np.argmax(tp[0, -1])
+
+    def test_loader_tp_deepseek(self, tmp_path):
+        from tests.test_deepseek import DS_CFG, VQ
+        from vptq_tpu.parallel.tp import tp_specs
+
+        cfg = tiny_model_config(**DS_CFG)
+        root = write_synthetic_checkpoint(
+            str(tmp_path / "ckpt"), cfg, vq_kwargs=VQ, seed=21
+        )
+        mesh = _mesh(2)
+        model_tp = load_model(
+            str(root), runtime_format="int8", mesh=mesh,
+            parallel="tp",
+        )
+        specs = tp_specs(model_tp)
+        tokens = jnp.asarray([[1, 5, 9]], jnp.int32)
+        cache = shard_cache_tp(
+            init_cache(model_tp.cfg, 1, 32), mesh
+        )
+        with mesh:
+            tp_logits, _ = forward_tp(
+                model_tp, tokens, cache, specs, mesh
+            )
+        ref = load_model(str(root), runtime_format="int8")
+        ref_logits, _ = forward(
+            ref, tokens, init_cache(ref.cfg, 1, 32)
+        )
+        a, b = np.asarray(ref_logits), np.asarray(tp_logits)
+        cos = np.sum(a * b) / (
+            np.linalg.norm(a) * np.linalg.norm(b) + 1e-9
+        )
+        assert cos > 0.99, cos
+
+
 class TestGenerator:
     def test_generator_tp_matches_single_device(self, tmp_path):
         """End-to-end serving path under TP: Generator(mesh=...) with

@@ -755,12 +755,21 @@ def _mla_attention(
     sin: jnp.ndarray,
     cache: KVCache,
     cfg: ModelConfig,
+    tp: Optional[Tuple[str, int]] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """DeepSeek MLA forward (HF DeepseekV3Attention semantics)."""
+    """DeepSeek MLA forward (HF DeepseekV3Attention semantics).
+
+    Under shard_map TP (``tp``): the compressed projections
+    (q_a / kv_a) are replicated — they are shared across heads — and
+    the per-head expansions (q / q_b / kv_b) are column-parallel over
+    heads, so this device computes nh/size whole heads; o_proj is
+    row-parallel (see parallel/tp.py _place_mla)."""
     import math
 
     batch, seq, _ = x.shape
     nh = cfg.num_attention_heads
+    if tp is not None:
+        nh //= tp[1]
     dn, dr, dv = (
         cfg.qk_nope_head_dim,
         cfg.qk_rope_head_dim,
@@ -804,10 +813,14 @@ def _mla_attention(
     out, new_cache = _cache_and_attend(
         block_idx, q_full, k_full, v, cache, cfg, scale=scale
     )
-    return attn.o_proj(out.astype(x.dtype)), new_cache
+    return _row_parallel_out(attn.o_proj, out, x.dtype, tp), new_cache
 
 
-def _deepseek_moe(moe: DeepseekMoe, x: jnp.ndarray) -> jnp.ndarray:
+def _deepseek_moe(
+    moe: DeepseekMoe,
+    x: jnp.ndarray,
+    tp: Optional[Tuple[str, int]] = None,
+) -> jnp.ndarray:
     """Sigmoid scores + correction-bias group-limited top-k routing
     (HF DeepseekV3TopkRouter.get_topk_indices semantics)."""
     lead = x.shape[:-1]
@@ -839,6 +852,22 @@ def _deepseek_moe(moe: DeepseekMoe, x: jnp.ndarray) -> jnp.ndarray:
             jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20
         )
     top_w = top_w * moe.routed_scaling_factor
+
+    if tp is not None:
+        # inside the whole-model shard_map: stacked experts are
+        # already local (expert-sharded at placement); shared experts
+        # run Megatron-TP like a dense mlp
+        from vptq_tpu.parallel.expert_parallel import moe_local
+
+        if moe.stacked is None:
+            raise NotImplementedError(
+                "shard_map TP DeepseekMoe needs stacked experts"
+            )
+        routed = moe_local(
+            moe.stacked, x, top_ids.astype(jnp.int32), top_w,
+            num_experts, tp[0],
+        ).astype(x.dtype)
+        return routed + _mlp(moe.shared_experts, x, tp=tp)
 
     routed = _route_moe(
         x, top_ids, top_w, num_experts,
@@ -1139,12 +1168,7 @@ def _mlp(
             return _moe_mlp_tp(mlp, x, tp)
         return _moe_mlp(mlp, x)
     if isinstance(mlp, DeepseekMoe):
-        if tp is not None:
-            raise NotImplementedError(
-                "DeepseekMoe under shard_map TP: use the GSPMD path "
-                "(parallel.sharding.shard_model)"
-            )
-        return _deepseek_moe(mlp, x)
+        return _deepseek_moe(mlp, x, tp=tp)
     if mlp.gate_up_proj is not None:
         # under TP the fused gate|up rows are permuted at placement
         # time so each shard holds [gate_d | up_d] — the local split
@@ -1194,12 +1218,8 @@ def forward(
     for i, block in enumerate(model.blocks):
         h = rms_norm(x, block.input_layernorm, cfg.rms_norm_eps)
         if isinstance(block.attn, MlaAttention):
-            if tp is not None:
-                raise NotImplementedError(
-                    "MLA under shard_map TP: use the GSPMD path"
-                )
             attn_out, cache = _mla_attention(
-                i, block.attn, h, cos, sin, cache, cfg,
+                i, block.attn, h, cos, sin, cache, cfg, tp=tp,
             )
         else:
             attn_out, cache = _attention(

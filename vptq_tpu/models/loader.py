@@ -388,10 +388,6 @@ def load_model(
             model_cfg, tp_size,
             sharded_lm_head=not model_cfg.tie_word_embeddings,
         )
-        if model_cfg.is_mla:
-            raise NotImplementedError(
-                "MLA under shard_map TP: use parallel='gspmd'"
-            )
     else:
         tp_size = 1
 
@@ -413,11 +409,13 @@ def load_model(
     moe = model_cfg.num_local_experts > 0
     deepseek = model_cfg.is_mla
 
-    def dense_mlp(p):
+    def dense_mlp(p, row=False):
+        # row=True for TP row-parallel placement (dense-replace and
+        # shared-expert mlps); routed experts stay whole per device
         return Mlp(
             gate_proj=lin(f"{p}.gate_proj"),
             up_proj=lin(f"{p}.up_proj"),
-            down_proj=lin(f"{p}.down_proj"),
+            down_proj=lin(f"{p}.down_proj", row=row),
         )
 
     def mla_attention(p):
@@ -441,7 +439,7 @@ def load_model(
                 ).astype(np.float32)
             ),
             kv_b_proj=lin(f"{p}.kv_b_proj"),
-            o_proj=lin(f"{p}.o_proj"),
+            o_proj=lin(f"{p}.o_proj", row=True),
             **q_kwargs,
         )
 
@@ -449,7 +447,7 @@ def load_model(
         from vptq_tpu.models.llama import DeepseekMoe
 
         if layer_idx < model_cfg.first_k_dense_replace:
-            return dense_mlp(f"{p}.mlp")
+            return dense_mlp(f"{p}.mlp", row=True)
         experts = tuple(
             dense_mlp(f"{p}.mlp.experts.{e}")
             for e in range(model_cfg.n_routed_experts)
@@ -468,7 +466,9 @@ def load_model(
                 ).astype(np.float32)
             ),
             experts=experts,
-            shared_experts=dense_mlp(f"{p}.mlp.shared_experts"),
+            shared_experts=dense_mlp(
+                f"{p}.mlp.shared_experts", row=True
+            ),
             top_k=model_cfg.num_experts_per_tok,
             n_group=model_cfg.n_group,
             topk_group=model_cfg.topk_group,

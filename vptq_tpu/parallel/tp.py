@@ -95,11 +95,17 @@ __all__ = [
 def tp_validate(cfg, size: int, sharded_lm_head: bool = True) -> None:
     """Raise when the geometry cannot be Megatron-sharded ``size``
     ways (head/intermediate/vocab divisibility)."""
-    checks = [
-        ("num_attention_heads", cfg.num_attention_heads),
-        ("num_key_value_heads", cfg.num_key_value_heads),
-        ("intermediate_size", cfg.intermediate_size),
-    ]
+    checks = [("num_attention_heads", cfg.num_attention_heads)]
+    if getattr(cfg, "is_mla", False):
+        # MLA caches per attention head; kv head count is nh and
+        # per-mlp widths (dense-replace / shared experts / routed)
+        # are validated at placement time from the layers themselves
+        pass
+    else:
+        checks += [
+            ("num_key_value_heads", cfg.num_key_value_heads),
+            ("intermediate_size", cfg.intermediate_size),
+        ]
     if sharded_lm_head:
         checks.append(("vocab_size", cfg.vocab_size))
     for name, val in checks:
@@ -250,18 +256,33 @@ def _row_parallel(
     return placed, spec
 
 
+def _out_features(lin) -> int:
+    if isinstance(lin, DenseLinear):
+        return int(lin.weight.shape[0])
+    return int(lin.wq.shape[0])
+
+
 def _place_mlp(
-    mlp: Mlp, mesh, axis, size, inter: int,
+    mlp: Mlp, mesh, axis, size,
     reencode_rows: bool = True,
 ):
+    # derive the logical intermediate size from the layer itself so
+    # shared-expert / dense-replace mlps (whose width differs from
+    # cfg.intermediate_size) place correctly
     if mlp.gate_up_proj is not None:
+        inter = _out_features(mlp.gate_up_proj) // 2
         perm = _fused_perm([inter, inter], size)
         gu, gu_s = _col_parallel(mlp.gate_up_proj, mesh, axis, perm)
         gate = up = gate_s = up_s = None
     else:
+        inter = _out_features(mlp.gate_proj)
         gu = gu_s = None
         gate, gate_s = _col_parallel(mlp.gate_proj, mesh, axis)
         up, up_s = _col_parallel(mlp.up_proj, mesh, axis)
+    if inter % size:
+        raise ValueError(
+            f"mlp intermediate {inter} does not divide TP size {size}"
+        )
     down, down_s = _row_parallel(
         mlp.down_proj, mesh, axis, size, inter,
         reencode=reencode_rows,
@@ -312,6 +333,106 @@ def _place_moe(moe: MoeMlp, mesh, axis, size):
     return placed, spec
 
 
+def _place_mla(attn, mesh, axis, size, cfg, reencode_rows=True):
+    """MLA placement: compressed projections (q_a / kv_a + norms)
+    replicated — they are shared across heads — per-head expansions
+    (q / q_b / kv_b) column-parallel over heads, o_proj row-parallel
+    over heads (logical in = nh * v_head_dim). Head rows are
+    contiguous per head, so no permutation is needed."""
+    nh = cfg.num_attention_heads
+    q = q_s = q_a = q_a_s = q_b = q_b_s = None
+    q_a_norm = q_a_norm_s = None
+    if attn.q_proj is not None:
+        q, q_s = _col_parallel(attn.q_proj, mesh, axis)
+    else:
+        q_a, q_a_s = _replicated_linear(attn.q_a_proj, mesh)
+        q_a_norm = _put(attn.q_a_norm, mesh, P())
+        q_a_norm_s = P()
+        q_b, q_b_s = _col_parallel(attn.q_b_proj, mesh, axis)
+    kv_a, kv_a_s = _replicated_linear(attn.kv_a_proj, mesh)
+    kv_b, kv_b_s = _col_parallel(attn.kv_b_proj, mesh, axis)
+    o, o_s = _row_parallel(
+        attn.o_proj, mesh, axis, size, nh * cfg.v_head_dim,
+        reencode=reencode_rows,
+    )
+    placed = MlaAttention(
+        kv_a_proj=kv_a,
+        kv_a_norm=_put(attn.kv_a_norm, mesh, P()),
+        kv_b_proj=kv_b,
+        o_proj=o,
+        q_proj=q,
+        q_a_proj=q_a,
+        q_a_norm=q_a_norm,
+        q_b_proj=q_b,
+    )
+    spec = MlaAttention(
+        kv_a_proj=kv_a_s,
+        kv_a_norm=P(),
+        kv_b_proj=kv_b_s,
+        o_proj=o_s,
+        q_proj=q_s,
+        q_a_proj=q_a_s,
+        q_a_norm=q_a_norm_s,
+        q_b_proj=q_b_s,
+    )
+    return placed, spec
+
+
+def _place_deepseek_moe(moe, mesh, axis, size, reencode_rows=True):
+    from vptq_tpu.models.llama import DeepseekMoe
+
+    if moe.stacked is None:
+        raise NotImplementedError(
+            "shard_map TP DeepseekMoe requires stacked experts "
+            "(fuse_model)"
+        )
+    n_experts = moe.stacked.gate_up_wq.shape[0]
+    if n_experts % size:
+        raise NotImplementedError(
+            f"routed experts {n_experts} must divide TP size {size}"
+        )
+    e_spec = P(axis, None, None)
+    stacked = StackedExperts(
+        gate_up_wq=_put(moe.stacked.gate_up_wq, mesh, e_spec),
+        gate_up_scales=_put(moe.stacked.gate_up_scales, mesh, e_spec),
+        down_wq=_put(moe.stacked.down_wq, mesh, e_spec),
+        down_scales=_put(moe.stacked.down_scales, mesh, e_spec),
+        fmt=moe.stacked.fmt,
+    )
+    stacked_s = StackedExperts(
+        gate_up_wq=e_spec, gate_up_scales=e_spec,
+        down_wq=e_spec, down_scales=e_spec, fmt=moe.stacked.fmt,
+    )
+    shared, shared_s = _place_mlp(
+        moe.shared_experts, mesh, axis, size,
+        reencode_rows=reencode_rows,
+    )
+    statics = dict(
+        top_k=moe.top_k,
+        n_group=moe.n_group,
+        topk_group=moe.topk_group,
+        norm_topk_prob=moe.norm_topk_prob,
+        routed_scaling_factor=moe.routed_scaling_factor,
+    )
+    placed = DeepseekMoe(
+        router_weight=_put(moe.router_weight, mesh, P()),
+        correction_bias=_put(moe.correction_bias, mesh, P()),
+        experts=(),
+        shared_experts=shared,
+        stacked=stacked,
+        **statics,
+    )
+    spec = DeepseekMoe(
+        router_weight=P(),
+        correction_bias=P(),
+        experts=(),
+        shared_experts=shared_s,
+        stacked=stacked_s,
+        **statics,
+    )
+    return placed, spec
+
+
 def _replicated_linear(layer, mesh):
     if layer is None:
         return None, None
@@ -343,36 +464,45 @@ def tp_place_block(
         cfg.num_key_value_heads,
         cfg.head_dim,
     )
+    from vptq_tpu.models.llama import DeepseekMoe
+
     attn = block.attn
     if isinstance(attn, MlaAttention):
-        raise NotImplementedError(
-            "MLA under shard_map TP: use the GSPMD path"
+        attn_p, attn_s = _place_mla(
+            attn, mesh, axis, size, cfg, reencode_rows=reencode_rows
         )
-    if attn.qkv_proj is not None:
-        perm = _fused_perm([nh * hd, nkv * hd, nkv * hd], size)
-        qkv, qkv_s = _col_parallel(attn.qkv_proj, mesh, axis, perm)
-        q = k = v = q_s = k_s = v_s = None
     else:
-        qkv = qkv_s = None
-        q, q_s = _col_parallel(attn.q_proj, mesh, axis)
-        k, k_s = _col_parallel(attn.k_proj, mesh, axis)
-        v, v_s = _col_parallel(attn.v_proj, mesh, axis)
-    o, o_s = _row_parallel(
-        attn.o_proj, mesh, axis, size, nh * hd,
-        reencode=reencode_rows,
-    )
-    attn_p = Attention(
-        q_proj=q, k_proj=k, v_proj=v, o_proj=o, qkv_proj=qkv
-    )
-    attn_s = Attention(
-        q_proj=q_s, k_proj=k_s, v_proj=v_s, o_proj=o_s,
-        qkv_proj=qkv_s,
-    )
+        if attn.qkv_proj is not None:
+            perm = _fused_perm([nh * hd, nkv * hd, nkv * hd], size)
+            qkv, qkv_s = _col_parallel(
+                attn.qkv_proj, mesh, axis, perm
+            )
+            q = k = v = q_s = k_s = v_s = None
+        else:
+            qkv = qkv_s = None
+            q, q_s = _col_parallel(attn.q_proj, mesh, axis)
+            k, k_s = _col_parallel(attn.k_proj, mesh, axis)
+            v, v_s = _col_parallel(attn.v_proj, mesh, axis)
+        o, o_s = _row_parallel(
+            attn.o_proj, mesh, axis, size, nh * hd,
+            reencode=reencode_rows,
+        )
+        attn_p = Attention(
+            q_proj=q, k_proj=k, v_proj=v, o_proj=o, qkv_proj=qkv
+        )
+        attn_s = Attention(
+            q_proj=q_s, k_proj=k_s, v_proj=v_s, o_proj=o_s,
+            qkv_proj=qkv_s,
+        )
     if isinstance(block.mlp, MoeMlp):
         mlp_p, mlp_s = _place_moe(block.mlp, mesh, axis, size)
+    elif isinstance(block.mlp, DeepseekMoe):
+        mlp_p, mlp_s = _place_deepseek_moe(
+            block.mlp, mesh, axis, size, reencode_rows=reencode_rows
+        )
     else:
         mlp_p, mlp_s = _place_mlp(
-            block.mlp, mesh, axis, size, cfg.intermediate_size,
+            block.mlp, mesh, axis, size,
             reencode_rows=reencode_rows,
         )
     placed = Block(

@@ -85,13 +85,28 @@ def _abs(shape, dtype):
     return jax.ShapeDtypeStruct(tuple(int(s) for s in shape), dtype)
 
 
-def _abs_linear(in_f: int, out_f: int, fmt: str):
+def _abs_linear(in_f: int, out_f: int, fmt: str, row_shards: int = 1):
     """Abstract runtime linear with the encoders' exact shapes
-    (layers/runtime.py to_int8/_encode_int4/to_bf16)."""
+    (layers/runtime.py to_int8/_encode_int4/to_bf16).
+
+    ``row_shards > 1``: the blocked shard_map-TP layout of a
+    row-parallel layer (per-shard padding — runtime._encode_int8/
+    _encode_int4 with shards=n)."""
     from vptq_tpu.layers.dense import DenseLinear
     from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
 
     if fmt == "int8":
+        if row_shards > 1:
+            blk = (in_f + row_shards - 1) // row_shards
+            g = pick_group(blk)
+            lip = blk + ((-blk) % g)
+            return Int8Linear(
+                wq=_abs((out_f, row_shards * lip), jnp.int8),
+                scales=_abs(
+                    (row_shards * (lip // g), out_f), jnp.float32
+                ),
+                bias=None,
+            )
         g = pick_group(in_f)
         in_p = in_f + ((-in_f) % g)
         return Int8Linear(
@@ -100,6 +115,16 @@ def _abs_linear(in_f: int, out_f: int, fmt: str):
             bias=None,
         )
     if fmt == "int4":
+        if row_shards > 1:
+            blk = (in_f + row_shards - 1) // row_shards
+            lip = blk + ((-blk) % 512)
+            return Int4Linear(
+                wq=_abs((out_f, row_shards * lip // 2), jnp.int8),
+                scales=_abs(
+                    (row_shards * (lip // 128), out_f), jnp.bfloat16
+                ),
+                bias=None,
+            )
         in_p = in_f + ((-in_f) % 2048)
         return Int4Linear(
             wq=_abs((out_f, in_p // 2), jnp.int8),
@@ -117,8 +142,14 @@ def abstract_runtime_model(
     cfg: ModelConfig,
     fmt: str = "int4",
     quantize_lm_head: bool = True,
+    tp_shards: int = 1,
 ) -> Model:
-    """A fused runtime :class:`Model` of ShapeDtypeStruct leaves."""
+    """A fused runtime :class:`Model` of ShapeDtypeStruct leaves.
+
+    ``tp_shards > 1``: the shard_map-TP layout — row-parallel layers
+    (o_proj / down_proj) take the blocked per-shard encoding shapes
+    (same rule the loader applies under ``parallel="tp"``).
+    """
     h = cfg.hidden_size
     nh, nkv, hd = (
         cfg.num_attention_heads,
@@ -163,7 +194,7 @@ def abstract_runtime_model(
         mlp = Mlp(
             gate_proj=None,
             up_proj=None,
-            down_proj=_abs_linear(inter, h, fmt),
+            down_proj=_abs_linear(inter, h, fmt, tp_shards),
             gate_up_proj=_abs_linear(h, 2 * inter, fmt),
         )
 
@@ -173,7 +204,7 @@ def abstract_runtime_model(
             q_proj=None,
             k_proj=None,
             v_proj=None,
-            o_proj=_abs_linear(nh * hd, h, fmt),
+            o_proj=_abs_linear(nh * hd, h, fmt, tp_shards),
             qkv_proj=_abs_linear(h, qkv_out, fmt),
         ),
         post_attention_layernorm=norm,
@@ -195,6 +226,72 @@ def abstract_runtime_model(
     )
 
 
+def _tp_abstract_specs(model: Model, axis: str = "model") -> Model:
+    """shard_map in_specs for an ``abstract_runtime_model(tp_shards=n)``
+    pytree (mirrors parallel/tp.py placement)."""
+    from jax.sharding import PartitionSpec as P
+
+    from vptq_tpu.layers.dense import DenseLinear
+
+    def col(lin):
+        if lin is None:
+            return None
+        if isinstance(lin, DenseLinear):
+            return DenseLinear(weight=P(axis, None), bias=None)
+        return type(lin)(
+            wq=P(axis, None), scales=P(None, axis), bias=None
+        )
+
+    def row(lin):
+        if isinstance(lin, DenseLinear):
+            return DenseLinear(weight=P(None, axis), bias=None)
+        return type(lin)(
+            wq=P(None, axis), scales=P(axis, None), bias=None
+        )
+
+    blocks = []
+    for b in model.blocks:
+        if isinstance(b.mlp, MoeMlp):
+            e = P(axis, None, None)
+            mlp_s = MoeMlp(
+                router=DenseLinear(weight=P(), bias=None),
+                experts=(),
+                num_experts_per_tok=b.mlp.num_experts_per_tok,
+                stacked=StackedExperts(
+                    gate_up_wq=e, gate_up_scales=e,
+                    down_wq=e, down_scales=e, fmt=b.mlp.stacked.fmt,
+                ),
+            )
+        else:
+            mlp_s = Mlp(
+                gate_proj=col(b.mlp.gate_proj),
+                up_proj=col(b.mlp.up_proj),
+                down_proj=row(b.mlp.down_proj),
+                gate_up_proj=col(b.mlp.gate_up_proj),
+            )
+        blocks.append(
+            Block(
+                input_layernorm=P(),
+                attn=Attention(
+                    q_proj=col(b.attn.q_proj),
+                    k_proj=col(b.attn.k_proj),
+                    v_proj=col(b.attn.v_proj),
+                    o_proj=row(b.attn.o_proj),
+                    qkv_proj=col(b.attn.qkv_proj),
+                ),
+                post_attention_layernorm=P(),
+                mlp=mlp_s,
+            )
+        )
+    return Model(
+        embed_tokens=P(),
+        blocks=tuple(blocks),
+        norm=P(),
+        lm_head=col(model.lm_head),
+        cfg=model.cfg,
+    )
+
+
 def validate_plan(
     cfg: ModelConfig,
     fmt: str,
@@ -202,6 +299,7 @@ def validate_plan(
     batch: int = 1,
     max_seq: int = 2048,
     quantize_lm_head: bool = True,
+    parallel: str = "gspmd",
 ):
     """AOT-compile the sharded decode step at full geometry.
 
@@ -209,9 +307,31 @@ def validate_plan(
     per-device argument/temp byte counts from XLA itself). Raises if
     the sharded graph cannot compile — the same failure a real load
     would hit, caught with zero weight bytes moved.
+
+    ``parallel="tp"`` compiles the shard_map Megatron path (the real
+    TPU serving path, ``load_model(parallel="tp")`` + ``forward_tp``)
+    with the blocked row-parallel weight shapes.
     """
     from vptq_tpu.models.llama import forward
     from vptq_tpu.parallel.sharding import shard_cache, shard_model
+
+    if parallel == "tp":
+        from vptq_tpu.parallel.tp import forward_tp, tp_validate
+
+        size = int(mesh.shape["model"])
+        tp_validate(cfg, size)
+        model = abstract_runtime_model(
+            cfg, fmt, quantize_lm_head, tp_shards=size
+        )
+        specs = _tp_abstract_specs(model)
+        cache = jax.eval_shape(
+            lambda: init_cache(cfg, batch, max_seq, jnp.bfloat16)
+        )
+        tokens = _abs((batch, 1), jnp.int32)
+        with mesh:
+            return forward_tp.lower(
+                model, tokens, cache, specs, mesh
+            ).compile()
 
     model = abstract_runtime_model(cfg, fmt, quantize_lm_head)
     model = shard_model(model, mesh)  # abstract mode: attaches specs
@@ -241,6 +361,11 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--max-seq", type=int, default=2048)
     ap.add_argument(
+        "--parallel", default="tp", choices=("tp", "gspmd"),
+        help="multi-chip placement to validate (tp = the shard_map "
+        "Megatron serving path; default)",
+    )
+    ap.add_argument(
         "--hbm-gb", type=float, default=16.0,
         help="per-chip HBM (v5e default 16)",
     )
@@ -256,7 +381,14 @@ def main(argv=None) -> int:
             **GEOMETRIES[args.geometry],
         }
     )
-    est = hbm.estimate_model_bytes(cfg, args.format)
+    tp_shards = (
+        args.chips
+        if args.parallel == "tp" and args.chips > 1
+        else 1
+    )
+    est = hbm.estimate_model_bytes(
+        cfg, args.format, tp_shards=tp_shards
+    )
     kv = hbm.kv_cache_bytes(cfg, args.batch, args.max_seq)
     table = hbm.budget_table(
         cfg, hbm_bytes=int(args.hbm_gb * hbm.GiB),
@@ -300,7 +432,8 @@ def main(argv=None) -> int:
             devices=np.asarray(jax.devices()[: args.chips]),
         )
         compiled = validate_plan(
-            cfg, args.format, mesh, args.batch, args.max_seq
+            cfg, args.format, mesh, args.batch, args.max_seq,
+            parallel=args.parallel,
         )
         mem = compiled.memory_analysis()
         if mem is not None:
