@@ -316,6 +316,31 @@ class TestGenerator:
         )
 
 
+class TestDataParallel:
+    def test_dp_x_tp_matches_single_device(self, tmp_path):
+        """2x2 mesh (data x model): batch rides the data axis, heads
+        the model axis; batched logits match single-device."""
+        model = _load(tmp_path, "bf16")
+        mesh = make_mesh(
+            data=2, model=2, devices=np.asarray(jax.devices()[:4])
+        )
+        tokens = jnp.asarray(
+            [[1, 7, 42, 9], [3, 5, 2, 8]], jnp.int32
+        )
+        ref_logits, _ = forward(
+            model, tokens, init_cache(model.cfg, 2, 32)
+        )
+        model_tp, specs = tp_place_model(model, mesh)
+        cache = shard_cache_tp(init_cache(model.cfg, 2, 32), mesh)
+        with mesh:
+            tp_logits, _ = forward_tp(
+                model_tp, tokens, cache, specs, mesh
+            )
+        np.testing.assert_allclose(
+            np.asarray(ref_logits), np.asarray(tp_logits), atol=0.03
+        )
+
+
 class TestValidation:
     def test_rejects_bad_divisibility(self, tmp_path):
         model = _load(tmp_path, "bf16")  # nkv=2, mesh model=8

@@ -27,10 +27,13 @@ class Engine:
         model: Model,
         max_seq: int = 2048,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         self.model = model
         self.config = model.cfg
-        self.generator = Generator(model, max_seq=max_seq, dtype=dtype)
+        self.generator = Generator(
+            model, max_seq=max_seq, dtype=dtype, mesh=mesh
+        )
 
     def generate(
         self,
@@ -61,11 +64,27 @@ class AutoModelForCausalLM:
         runtime_format: str = "int8",
         dtype=jnp.bfloat16,
         max_seq: int = 2048,
+        tp: int = 0,
         **_ignored,
     ) -> Engine:
+        """``tp > 1``: shard tensor-parallel over that many devices
+        (shard_map Megatron placement, parallel/tp.py)."""
+        mesh = None
+        if tp and tp > 1:
+            import jax
+            import numpy as np
+
+            from vptq_tpu.parallel.sharding import make_mesh
+
+            mesh = make_mesh(
+                data=1, model=tp,
+                devices=np.asarray(jax.devices()[:tp]),
+            )
         model = load_model(
             pretrained_model_name_or_path,
             dtype=dtype,
             runtime_format=runtime_format,
+            mesh=mesh,
+            parallel="tp",
         )
-        return Engine(model, max_seq=max_seq, dtype=dtype)
+        return Engine(model, max_seq=max_seq, dtype=dtype, mesh=mesh)

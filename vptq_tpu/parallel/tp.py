@@ -565,14 +565,18 @@ def tp_place_model(
     return placed, specs
 
 
-def cache_tp_specs(cache: KVCache, axis: str = "model") -> KVCache:
-    """KV cache specs: heads sharded over the TP axis (matches the
-    local attention heads), lengths replicated."""
-    kv = P(None, None, axis, None)
+def cache_tp_specs(
+    cache: KVCache, axis: str = "model", data_axis: str = "data"
+) -> KVCache:
+    """KV cache specs: batch over the data axis, heads over the TP
+    axis (matches the local attention heads). With a size-1 data
+    axis (the default mesh) the batch annotation is a no-op, so one
+    spec serves both pure-TP and DP×TP deployments."""
+    kv = P(data_axis, None, axis, None)
     return KVCache(
         k=tuple(kv for _ in cache.k),
         v=tuple(kv for _ in cache.v),
-        lengths=P(),
+        lengths=P(data_axis),
     )
 
 
@@ -604,8 +608,10 @@ def forward_tp(
     """Tensor-parallel decode/prefill step over ``mesh``.
 
     ``model_tp``/``specs`` come from :func:`tp_place_model`; the cache
-    must be placed with :func:`shard_cache_tp`. Logits are returned
-    replicated; the cache stays sharded over heads.
+    must be placed with :func:`shard_cache_tp`. The batch dim rides
+    the mesh's ``data`` axis (DP×TP; a size-1 data axis makes that a
+    no-op). Logits come back vocab-complete, batch-sharded over
+    ``data``; the cache stays sharded.
     """
     size = mesh.shape[axis]
     cache_specs = cache_tp_specs(cache, axis)
@@ -619,7 +625,7 @@ def forward_tp(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(specs, P(), cache_specs),
-        out_specs=(P(), cache_specs),
+        in_specs=(specs, P("data"), cache_specs),
+        out_specs=(P("data"), cache_specs),
         check_vma=False,
     )(model_tp, tokens, cache)

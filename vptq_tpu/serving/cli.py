@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="enable prefix KV caching with this HBM budget (MiB); "
         "chat turns sharing a system prompt skip re-prefilling it",
     )
+    p.add_argument(
+        "--tp", type=int, default=0,
+        help="shard the model tensor-parallel over this many chips "
+        "(shard_map Megatron placement; 0 = single device). 70B-class "
+        "models need this — see README §Multi-chip serving",
+    )
     return p
 
 
@@ -64,11 +70,29 @@ def _load(args):
     from vptq_tpu.models import load_model
     from vptq_tpu.serving.generate import Generator
 
+    mesh = None
+    if args.tp and args.tp > 1:
+        import jax
+        import numpy as np
+
+        from vptq_tpu.parallel.sharding import make_mesh
+
+        if len(jax.devices()) < args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} but only {len(jax.devices())} "
+                "devices visible"
+            )
+        mesh = make_mesh(
+            data=1, model=args.tp,
+            devices=np.asarray(jax.devices()[: args.tp]),
+        )
     model = load_model(
         args.model,
         dtype=jnp.bfloat16,
         runtime_format=args.runtime_format,
         quantize_lm_head=args.quantize_lm_head,
+        mesh=mesh,
+        parallel="tp",
     )
     pc = None
     if args.prefix_cache_mb > 0:
@@ -79,7 +103,7 @@ def _load(args):
         )
     gen = Generator(
         model, max_seq=args.max_seq, dtype=jnp.bfloat16,
-        prefix_cache=pc,
+        prefix_cache=pc, mesh=mesh,
     )
     return model, gen
 

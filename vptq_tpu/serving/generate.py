@@ -111,8 +111,8 @@ def decode_loop_tp(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(specs, P(), cache_specs, P(), P()),
-        out_specs=(P(), cache_specs),
+        in_specs=(specs, P("data"), cache_specs, P(), P()),
+        out_specs=(P(None, "data"), cache_specs),
         check_vma=False,
     )(model, first_token, cache, key, temperature)
 

@@ -118,6 +118,74 @@ def _batched_decode(
     return toks, cache  # toks (steps, B)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("specs", "mesh", "axis", "steps", "dtype"),
+    donate_argnums=(2,),
+)
+def _batched_decode_tp(
+    model: Model,
+    tokens: jnp.ndarray,
+    cache: KVCache,
+    key: jnp.ndarray,
+    temps: jnp.ndarray,
+    active: jnp.ndarray,
+    *,
+    specs,
+    mesh,
+    axis: str = "model",
+    steps: int,
+    dtype=jnp.bfloat16,
+):
+    """``_batched_decode`` under shard_map tensor parallelism — the
+    whole slot-batch scan runs with kernel-local weights (see
+    parallel/tp.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from vptq_tpu.parallel.tp import cache_tp_specs
+
+    size = mesh.shape[axis]
+    cache_specs = cache_tp_specs(cache, axis)
+
+    def local(model, tokens, cache, key, temps, active):
+        def step(carry, _):
+            tok, cache, key = carry
+            logits, new_cache = forward(
+                model, tok[:, None], cache, dtype=dtype,
+                tp=(axis, size),
+            )
+            new_cache = new_cache.replace(
+                lengths=jnp.where(
+                    active, new_cache.lengths, cache.lengths
+                )
+            )
+            logits = logits[:, 0]
+            key, sub = jax.random.split(key)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            temp = jnp.maximum(temps, 1e-6)[:, None]
+            sampled = jax.random.categorical(
+                sub, logits / temp, axis=-1
+            ).astype(jnp.int32)
+            nxt = jnp.where(temps > 0, sampled, greedy)
+            nxt = jnp.where(active, nxt, tok)
+            return (nxt, new_cache, key), nxt
+
+        (_, cache2, _), toks = jax.lax.scan(
+            step, (tokens, cache, key), None, length=steps
+        )
+        return toks, cache2
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            specs, P("data"), cache_specs, P(), P("data"), P("data"),
+        ),
+        out_specs=(P(None, "data"), cache_specs),
+        check_vma=False,
+    )(model, tokens, cache, key, temps, active)
+
+
 class Scheduler:
     def __init__(
         self,
@@ -128,6 +196,7 @@ class Scheduler:
         chunk: int = 16,
         prompt_buckets: Sequence[int] = (64, 256, 1024),
         prefix_cache=None,  # serving.prefix_cache.PrefixCache
+        mesh=None,  # shard_map TP: model from load_model(parallel="tp")
     ):
         self.model = model
         self.max_batch = max_batch
@@ -135,11 +204,22 @@ class Scheduler:
         self.dtype = dtype
         self.chunk = chunk
         self.prefix_cache = prefix_cache
+        self.mesh = mesh
         self.prompt_buckets = [b for b in prompt_buckets if b <= max_seq]
         if not self.prompt_buckets:
             self.prompt_buckets = [max_seq]
 
         self.cache = init_cache(model.cfg, max_batch, max_seq, dtype)
+        if mesh is not None:
+            from vptq_tpu.parallel.tp import (
+                shard_cache_tp,
+                tp_specs,
+            )
+
+            self._specs = tp_specs(model)
+            self.cache = shard_cache_tp(self.cache, mesh)
+        else:
+            self._specs = None
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.last_tokens = np.zeros(max_batch, dtype=np.int32)
         self.temps = np.zeros(max_batch, dtype=np.float32)
@@ -149,25 +229,54 @@ class Scheduler:
         self._chunk_idx = 0
         self._admitting: Optional[_Admission] = None
 
-        @functools.partial(
-            jax.jit, static_argnames=("dtype", "fresh")
-        )
-        def _prefill_one(
-            model, tokens, cache1, start, dtype=self.dtype,
-            fresh=False,
-        ):
-            if cache1 is None:
-                cache1 = init_cache(model.cfg, 1, self.max_seq, dtype)
-            cache1 = cache1.replace(
-                lengths=jnp.full((1,), start, jnp.int32)
+        if mesh is not None:
+            from vptq_tpu.parallel.tp import (
+                forward_tp,
+                shard_cache_tp as _sct,
             )
-            logits, cache1 = forward(
-                model, tokens, cache1, dtype=dtype,
-                fresh_prefill=fresh,
-            )
-            return logits, cache1
 
-        self._prefill_one = _prefill_one
+            def _prefill_one(
+                model, tokens, cache1, start, dtype=self.dtype,
+                fresh=False,
+            ):
+                if cache1 is None:
+                    cache1 = _sct(
+                        init_cache(model.cfg, 1, self.max_seq, dtype),
+                        mesh,
+                    )
+                cache1 = cache1.replace(
+                    lengths=jnp.full((1,), start, jnp.int32)
+                )
+                with mesh:
+                    return forward_tp(
+                        model, tokens, cache1, self._specs, mesh,
+                        dtype=dtype, fresh_prefill=fresh,
+                    )
+
+            self._prefill_one = _prefill_one
+        else:
+
+            @functools.partial(
+                jax.jit, static_argnames=("dtype", "fresh")
+            )
+            def _prefill_one(
+                model, tokens, cache1, start, dtype=self.dtype,
+                fresh=False,
+            ):
+                if cache1 is None:
+                    cache1 = init_cache(
+                        model.cfg, 1, self.max_seq, dtype
+                    )
+                cache1 = cache1.replace(
+                    lengths=jnp.full((1,), start, jnp.int32)
+                )
+                logits, cache1 = forward(
+                    model, tokens, cache1, dtype=dtype,
+                    fresh_prefill=fresh,
+                )
+                return logits, cache1
+
+            self._prefill_one = _prefill_one
 
         @jax.jit
         def _insert_slot(cache, k1, v1, slot, plen):
@@ -356,16 +465,31 @@ class Scheduler:
         active = np.array(
             [s is not None for s in self.slots], dtype=bool
         )
-        toks, self.cache = _batched_decode(
-            self.model,
-            jnp.asarray(self.last_tokens),
-            self.cache,
-            jax.random.PRNGKey(self._chunk_idx),
-            jnp.asarray(self.temps),
-            jnp.asarray(active),
-            steps=self.chunk,
-            dtype=self.dtype,
-        )
+        if self.mesh is not None:
+            with self.mesh:
+                toks, self.cache = _batched_decode_tp(
+                    self.model,
+                    jnp.asarray(self.last_tokens),
+                    self.cache,
+                    jax.random.PRNGKey(self._chunk_idx),
+                    jnp.asarray(self.temps),
+                    jnp.asarray(active),
+                    specs=self._specs,
+                    mesh=self.mesh,
+                    steps=self.chunk,
+                    dtype=self.dtype,
+                )
+        else:
+            toks, self.cache = _batched_decode(
+                self.model,
+                jnp.asarray(self.last_tokens),
+                self.cache,
+                jax.random.PRNGKey(self._chunk_idx),
+                jnp.asarray(self.temps),
+                jnp.asarray(active),
+                steps=self.chunk,
+                dtype=self.dtype,
+            )
         self._chunk_idx += 1
         arr = np.asarray(toks)  # (chunk, B)
 
