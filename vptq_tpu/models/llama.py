@@ -498,6 +498,7 @@ def _attention(
     cfg: ModelConfig,
     fresh_prefill: bool = False,
     tp: Optional[Tuple[str, int]] = None,
+    cp: Optional[Tuple[str, int]] = None,  # ring prefill, see forward
 ) -> Tuple[jnp.ndarray, KVCache]:
     batch, seq, _ = x.shape
     nh, nkv, hd = (
@@ -527,6 +528,27 @@ def _attention(
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+
+    if cp is not None:
+        # context parallelism (fresh prefill): the sequence is
+        # sharded over cp[0]; attention runs as a ppermute ring over
+        # the K/V chunks (parallel/ring.py) and the gathered prefix
+        # is written once into the (data-replicated) cache
+        if cfg.sliding_window is not None:
+            raise NotImplementedError(
+                "sliding-window attention under context parallelism"
+            )
+        from vptq_tpu.parallel.ring import ring_attention
+
+        out = ring_attention(q, k, v, cp[0], cp[1], hd ** -0.5)
+        k_all = jax.lax.all_gather(k, cp[0], axis=1, tiled=True)
+        v_all = jax.lax.all_gather(v, cp[0], axis=1, tiled=True)
+        new_cache = _insert_kv(block_idx, k_all, v_all, cache)
+        out = out.reshape(batch, seq, nh * hd)
+        return (
+            _row_parallel_out(attn.o_proj, out, x.dtype, tp),
+            new_cache,
+        )
 
     if (
         fresh_prefill
@@ -1193,6 +1215,7 @@ def forward(
     dtype=jnp.bfloat16,
     fresh_prefill: bool = False,
     tp: Optional[Tuple[str, int]] = None,
+    cp: Optional[Tuple[str, int]] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder over ``tokens`` starting at ``cache.lengths``.
 
@@ -1204,6 +1227,11 @@ def forward(
     local heads / expert / vocab shard and the row-parallel outputs
     are psum'd over ICI. Never set directly; use
     ``parallel.tp.forward_tp``.
+
+    ``cp=(axis_name, size)``: context parallelism for a FRESH prefill
+    — ``tokens`` is this device's contiguous sequence chunk; every
+    per-token op is chunk-local and attention runs as a K/V ring
+    (parallel/ring.py). Use ``parallel.tp.prefill_cp``.
     """
     cfg = model.cfg
     batch, seq = tokens.shape
@@ -1212,19 +1240,30 @@ def forward(
         cache.lengths[:, None]
         + jnp.arange(seq)[None, :].astype(jnp.int32)
     )
+    if cp is not None:
+        if not fresh_prefill:
+            raise ValueError("context parallelism needs fresh_prefill")
+        # this device's chunk starts at global position chunk_idx*seq
+        positions = positions + (
+            jax.lax.axis_index(cp[0]) * seq
+        ).astype(jnp.int32)
     inv_freq, rope_scale = rope_frequencies(cfg)
     cos, sin = rope_cos_sin(positions, inv_freq, rope_scale)
 
     for i, block in enumerate(model.blocks):
         h = rms_norm(x, block.input_layernorm, cfg.rms_norm_eps)
         if isinstance(block.attn, MlaAttention):
+            if cp is not None:
+                raise NotImplementedError(
+                    "MLA under context parallelism"
+                )
             attn_out, cache = _mla_attention(
                 i, block.attn, h, cos, sin, cache, cfg, tp=tp,
             )
         else:
             attn_out, cache = _attention(
                 i, block.attn, h, cos, sin, cache, cfg,
-                fresh_prefill=fresh_prefill, tp=tp,
+                fresh_prefill=fresh_prefill, tp=tp, cp=cp,
             )
         x = x + attn_out
         h = rms_norm(x, block.post_attention_layernorm, cfg.rms_norm_eps)
@@ -1247,6 +1286,8 @@ def forward(
             preferred_element_type=jnp.float32,
         )
     cache = KVCache(
-        k=cache.k, v=cache.v, lengths=cache.lengths + seq
+        k=cache.k,
+        v=cache.v,
+        lengths=cache.lengths + seq * (cp[1] if cp is not None else 1),
     )
     return logits.astype(jnp.float32), cache

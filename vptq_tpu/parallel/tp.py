@@ -87,8 +87,10 @@ __all__ = [
     "tp_specs",
     "tp_validate",
     "forward_tp",
+    "prefill_cp",
     "cache_tp_specs",
     "shard_cache_tp",
+    "batch_axis",
 ]
 
 
@@ -565,13 +567,19 @@ def tp_place_model(
     return placed, specs
 
 
+def batch_axis(mesh, batch: int, data_axis: str = "data"):
+    """The mesh axis the batch dim rides: ``data`` when it divides
+    the batch (DP×TP), else None (replicated — e.g. batch-1 serving
+    on a mesh whose data axis is used for context parallelism)."""
+    size = int(mesh.shape.get(data_axis, 1))
+    return data_axis if size > 1 and batch % size == 0 else None
+
+
 def cache_tp_specs(
-    cache: KVCache, axis: str = "model", data_axis: str = "data"
+    cache: KVCache, axis: str = "model", data_axis=None
 ) -> KVCache:
-    """KV cache specs: batch over the data axis, heads over the TP
-    axis (matches the local attention heads). With a size-1 data
-    axis (the default mesh) the batch annotation is a no-op, so one
-    spec serves both pure-TP and DP×TP deployments."""
+    """KV cache specs: batch over ``data_axis`` (None = replicated),
+    heads over the TP axis (matches the local attention heads)."""
     kv = P(data_axis, None, axis, None)
     return KVCache(
         k=tuple(kv for _ in cache.k),
@@ -581,13 +589,65 @@ def cache_tp_specs(
 
 
 def shard_cache_tp(cache: KVCache, mesh: Mesh, axis: str = "model"):
-    specs = cache_tp_specs(cache, axis)
+    specs = cache_tp_specs(
+        cache, axis, batch_axis(mesh, int(cache.lengths.shape[0]))
+    )
     return jax.tree.map(
         lambda x, s: _put(x, mesh, s),
         cache,
         specs,
         is_leaf=lambda x: x is None,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("specs", "mesh", "tp_axis", "cp_axis", "dtype"),
+    donate_argnums=(2,),
+)
+def prefill_cp(
+    model_tp: Model,
+    tokens: jnp.ndarray,  # (B, S) int32 — S sharded over cp_axis
+    cache: KVCache,
+    specs: Model,
+    mesh: Mesh,
+    tp_axis: str = "model",
+    cp_axis: str = "data",
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Context-parallel fresh prefill: the prompt's sequence chunks
+    are sharded over ``cp_axis`` (each device runs the full decoder
+    on its chunk — per-token work is embarrassingly parallel) while
+    attention runs as a K/V ppermute ring (parallel/ring.py) and
+    tensor parallelism over ``tp_axis`` as usual. The KV cache comes
+    back replicated over ``cp_axis`` with the full prefix written —
+    ready for TP decode. S must divide the cp axis size.
+
+    The reference has no sequence parallelism at all; long-context
+    prefill there is bounded by one GPU (SURVEY §5.7).
+    """
+    tp_size = int(mesh.shape[tp_axis])
+    cp_size = int(mesh.shape[cp_axis])
+    if tokens.shape[1] % cp_size:
+        raise ValueError(
+            f"prompt length {tokens.shape[1]} must divide "
+            f"cp={cp_size} chunks"
+        )
+    cache_specs = cache_tp_specs(cache, tp_axis, None)
+
+    def local(m, t, c):
+        return forward(
+            m, t, c, dtype=dtype, fresh_prefill=True,
+            tp=(tp_axis, tp_size), cp=(cp_axis, cp_size),
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(specs, P(None, cp_axis), cache_specs),
+        out_specs=(P(None, cp_axis), cache_specs),
+        check_vma=False,
+    )(model_tp, tokens, cache)
 
 
 @functools.partial(
@@ -614,7 +674,8 @@ def forward_tp(
     ``data``; the cache stays sharded.
     """
     size = mesh.shape[axis]
-    cache_specs = cache_tp_specs(cache, axis)
+    b_ax = batch_axis(mesh, int(tokens.shape[0]))
+    cache_specs = cache_tp_specs(cache, axis, b_ax)
 
     def local(m, t, c):
         return forward(
@@ -625,7 +686,7 @@ def forward_tp(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(specs, P("data"), cache_specs),
-        out_specs=(P("data"), cache_specs),
+        in_specs=(specs, P(b_ax), cache_specs),
+        out_specs=(P(b_ax), cache_specs),
         check_vma=False,
     )(model_tp, tokens, cache)

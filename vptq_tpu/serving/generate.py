@@ -79,10 +79,11 @@ def decode_loop_tp(
     key — identical tokens on every device."""
     from jax.sharding import PartitionSpec as P
 
-    from vptq_tpu.parallel.tp import cache_tp_specs
+    from vptq_tpu.parallel.tp import batch_axis, cache_tp_specs
 
     size = mesh.shape[axis]
-    cache_specs = cache_tp_specs(cache, axis)
+    b_ax = batch_axis(mesh, int(first_token.shape[0]))
+    cache_specs = cache_tp_specs(cache, axis, b_ax)
 
     def local(model, first_token, cache, key, temperature):
         def step(carry, _):
@@ -111,8 +112,8 @@ def decode_loop_tp(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(specs, P("data"), cache_specs, P(), P()),
-        out_specs=(P(None, "data"), cache_specs),
+        in_specs=(specs, P(b_ax), cache_specs, P(), P()),
+        out_specs=(P(None, b_ax), cache_specs),
         check_vma=False,
     )(model, first_token, cache, key, temperature)
 

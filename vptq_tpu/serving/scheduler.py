@@ -142,10 +142,11 @@ def _batched_decode_tp(
     parallel/tp.py)."""
     from jax.sharding import PartitionSpec as P
 
-    from vptq_tpu.parallel.tp import cache_tp_specs
+    from vptq_tpu.parallel.tp import batch_axis, cache_tp_specs
 
     size = mesh.shape[axis]
-    cache_specs = cache_tp_specs(cache, axis)
+    b_ax = batch_axis(mesh, int(tokens.shape[0]))
+    cache_specs = cache_tp_specs(cache, axis, b_ax)
 
     def local(model, tokens, cache, key, temps, active):
         def step(carry, _):
@@ -179,9 +180,9 @@ def _batched_decode_tp(
         local,
         mesh=mesh,
         in_specs=(
-            specs, P("data"), cache_specs, P(), P("data"), P("data"),
+            specs, P(b_ax), cache_specs, P(), P(b_ax), P(b_ax),
         ),
-        out_specs=(P(None, "data"), cache_specs),
+        out_specs=(P(None, b_ax), cache_specs),
         check_vma=False,
     )(model, tokens, cache, key, temps, active)
 
