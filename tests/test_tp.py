@@ -316,6 +316,25 @@ class TestGenerator:
         )
 
 
+class TestQkvBias:
+    def test_qwen2_style_bias_under_tp(self, tmp_path):
+        """Qwen2's qkv biases are column-parallel: the fused-perm
+        must permute them with the rows."""
+        cfg = tiny_model_config(
+            model_type="qwen2", tie_word_embeddings=False
+        )
+        root = write_synthetic_checkpoint(
+            str(tmp_path / "ckpt"), cfg, seed=6, qkv_bias=True
+        )
+        model = load_model(str(root), runtime_format="int8")
+        ref, tp = _run_pair(model, _mesh(2))
+        cos = np.sum(ref * tp) / (
+            np.linalg.norm(ref) * np.linalg.norm(tp) + 1e-9
+        )
+        assert cos > 0.99, cos
+        assert np.argmax(ref[0, -1]) == np.argmax(tp[0, -1])
+
+
 class TestDataParallel:
     def test_dp_x_tp_matches_single_device(self, tmp_path):
         """2x2 mesh (data x model): batch rides the data axis, heads

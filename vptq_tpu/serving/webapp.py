@@ -297,6 +297,11 @@ def main(argv=None) -> int:
         help="add the known community checkpoints to the dropdown "
              "(downloaded from the hub on first selection)",
     )
+    p.add_argument(
+        "--tp", type=int, default=0,
+        help="tensor-parallel over this many chips (shard_map "
+        "Megatron placement; 0 = single device)",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -305,12 +310,25 @@ def main(argv=None) -> int:
     from vptq_tpu.models import load_model
     from vptq_tpu.serving.generate import Generator
 
+    mesh = None
+    if args.tp and args.tp > 1:
+        import jax
+        import numpy as np
+
+        from vptq_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(
+            data=1, model=args.tp,
+            devices=np.asarray(jax.devices()[: args.tp]),
+        )
+
     def load_fn(path):
         model = load_model(
             path, dtype=jnp.bfloat16,
             runtime_format=args.runtime_format,
+            mesh=mesh, parallel="tp",
         )
-        gen = Generator(model, max_seq=args.max_seq)
+        gen = Generator(model, max_seq=args.max_seq, mesh=mesh)
         try:
             tok = AutoTokenizer.from_pretrained(path)
         except Exception:
