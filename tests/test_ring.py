@@ -115,3 +115,36 @@ def test_prefill_cp_matches_tp_prefill(tmp_path):
     assert np.argmax(np.asarray(l_ref)[0, -1]) == np.argmax(
         np.asarray(l_cp)[0, -1]
     )
+
+
+def test_generator_cp_matches_tp(tmp_path):
+    """Generator on a 2x2 mesh (data axis = context parallelism for
+    prefill) reproduces the 1x2 pure-TP generator's greedy tokens —
+    the model-axis shard encodings are identical, only the prefill
+    parallelization differs."""
+    from vptq_tpu.serving import Generator
+
+    cfg = tiny_model_config(tie_word_embeddings=False)
+    root = write_synthetic_checkpoint(
+        str(tmp_path / "ckpt"), cfg, seed=5
+    )
+    prompt = [1, 7, 42, 9, 3, 5, 2, 8, 11, 4]
+
+    mesh_tp = make_mesh(
+        data=1, model=2, devices=np.asarray(jax.devices()[:2])
+    )
+    m1 = load_model(
+        str(root), runtime_format="int8", mesh=mesh_tp, parallel="tp"
+    )
+    g1 = Generator(m1, max_seq=64, prompt_buckets=(16,), mesh=mesh_tp)
+    want = g1.generate(prompt, max_new_tokens=10)
+
+    mesh_cp = make_mesh(
+        data=2, model=2, devices=np.asarray(jax.devices()[:4])
+    )
+    m2 = load_model(
+        str(root), runtime_format="int8", mesh=mesh_cp, parallel="tp"
+    )
+    g2 = Generator(m2, max_seq=64, prompt_buckets=(16,), mesh=mesh_cp)
+    got = g2.generate(prompt, max_new_tokens=10)
+    assert got == want, (got, want)

@@ -148,12 +148,28 @@ class Generator:
             self.prompt_buckets = [max_seq]
 
         if mesh is not None:
-            from vptq_tpu.parallel.tp import forward_tp, tp_specs
+            from vptq_tpu.parallel.tp import (
+                forward_tp,
+                prefill_cp,
+                tp_specs,
+            )
 
             self._specs = tp_specs(model)
+            cp_size = int(mesh.shape.get("data", 1))
 
             def _prefill(model, tokens, cache, fresh=False):
                 with mesh:
+                    if (
+                        fresh
+                        and cp_size > 1
+                        and tokens.shape[1] % cp_size == 0
+                    ):
+                        # context-parallel fresh prefill: sequence
+                        # chunks over the data axis, ring attention
+                        return prefill_cp(
+                            model, tokens, cache, self._specs,
+                            mesh, dtype=self.dtype,
+                        )
                     return forward_tp(
                         model, tokens, cache, self._specs, mesh,
                         dtype=self.dtype, fresh_prefill=fresh,
