@@ -187,7 +187,10 @@ class TestShardedIngestion:
         root = write_synthetic_checkpoint(str(tmp_path / "ckpt"))
         mesh = make_mesh(data=1, model=len(jax.devices()))
 
-        direct = load_model(str(root), runtime_format="int8", mesh=mesh)
+        direct = load_model(
+            str(root), runtime_format="int8", mesh=mesh,
+            parallel="gspmd",
+        )
         two_step = shard_model(
             load_model(str(root), runtime_format="int8"), mesh
         )

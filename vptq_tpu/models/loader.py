@@ -284,18 +284,20 @@ def load_model(
     fuse: bool = True,
     quantize_lm_head: bool = False,
     mesh=None,
-    parallel: str = "gspmd",
+    parallel: str = "auto",
     hbm_gb: Optional[float] = None,
     hbm_utilization: float = 0.9,
 ) -> Model:
     """Load a VPTQ HF checkpoint directory into a :class:`Model`.
 
-    ``parallel`` (with ``mesh``): "gspmd" annotates GSPMD sharding
-    specs (parallel/sharding.py — right for the XLA/codebook paths);
-    "tp" places Megatron shard_map tensor parallelism
-    (parallel/tp.py — the TPU pallas-kernel path; row-parallel layers
-    are encoded blocked, straight from the exact weights, and the
-    model must be driven through ``parallel.tp.forward_tp``).
+    ``parallel`` (with ``mesh``): "tp" places Megatron shard_map
+    tensor parallelism (parallel/tp.py — the TPU pallas-kernel path;
+    row-parallel layers are encoded blocked, straight from the exact
+    weights, and the model must be driven through
+    ``parallel.tp.forward_tp`` / ``Generator(mesh=...)``); "gspmd"
+    annotates GSPMD sharding specs (parallel/sharding.py — for the
+    XLA/codebook paths). "auto" (default) picks tp for the runtime
+    formats and gspmd for codebook.
 
     ``runtime_format``: "codebook" keeps compressed VQ layers (exact,
     minimal memory, slow matmul); "int8" / "bf16" re-encode each layer
@@ -377,9 +379,16 @@ def load_model(
             " GiB weights)",
         )
 
-    tp_mode = mesh is not None and parallel == "tp"
+    if parallel == "auto":
+        # the shard_map Megatron path is the TPU kernel path; the
+        # codebook format's XLA gathers partition natively under
+        # GSPMD (and tp does not support it)
+        parallel = "gspmd" if runtime_format == "codebook" else "tp"
     if mesh is not None and parallel not in ("gspmd", "tp"):
-        raise ValueError(f"parallel must be 'gspmd' or 'tp', not {parallel!r}")
+        raise ValueError(
+            f"parallel must be 'auto'/'gspmd'/'tp', not {parallel!r}"
+        )
+    tp_mode = mesh is not None and parallel == "tp"
     if tp_mode:
         from vptq_tpu.parallel.tp import tp_validate
 
