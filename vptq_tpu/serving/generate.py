@@ -22,6 +22,24 @@ from vptq_tpu.models.llama import KVCache, Model, forward, init_cache
 __all__ = ["Generator", "decode_loop", "decode_loop_tp"]
 
 
+def sample_next(logits, key, temperature):
+    """Greedy/temperature sampling for one step.
+
+    ``logits`` (B, V); ``temperature`` scalar or (B,) — 0 selects
+    greedy per sequence. Returns ((B,) int32 tokens, new key).
+    """
+    key, sub = jax.random.split(key)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temp = jnp.maximum(temperature, 1e-6)
+    if temp.ndim:
+        temp = temp[:, None]
+    sampled = jax.random.categorical(
+        sub, logits / temp, axis=-1
+    ).astype(jnp.int32)
+    nxt = jnp.where(temperature > 0, sampled, greedy)
+    return nxt, key
+
+
 @functools.partial(
     jax.jit, static_argnames=("steps", "dtype"), donate_argnums=(2,)
 )
@@ -40,12 +58,7 @@ def decode_loop(
     def step(carry, _):
         tok, cache, key = carry
         logits, cache = forward(model, tok[:, None], cache, dtype=dtype)
-        logits = logits[:, 0]  # (B, vocab)
-        key, sub = jax.random.split(key)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        temp = jnp.maximum(temperature, 1e-6)
-        sampled = jax.random.categorical(sub, logits / temp, axis=-1)
-        nxt = jnp.where(temperature > 0, sampled.astype(jnp.int32), greedy)
+        nxt, key = sample_next(logits[:, 0], key, temperature)
         return (nxt, cache, key), nxt
 
     (last, cache, _), toks = jax.lax.scan(
@@ -92,16 +105,7 @@ def decode_loop_tp(
                 model, tok[:, None], cache, dtype=dtype,
                 tp=(axis, size),
             )
-            logits = logits[:, 0]
-            key, sub = jax.random.split(key)
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            temp = jnp.maximum(temperature, 1e-6)
-            sampled = jax.random.categorical(
-                sub, logits / temp, axis=-1
-            )
-            nxt = jnp.where(
-                temperature > 0, sampled.astype(jnp.int32), greedy
-            )
+            nxt, key = sample_next(logits[:, 0], key, temperature)
             return (nxt, cache, key), nxt
 
         (last, cache2, _), toks = jax.lax.scan(

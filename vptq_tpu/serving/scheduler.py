@@ -40,6 +40,7 @@ from vptq_tpu.models.llama import (
     forward,
     init_cache,
 )
+from vptq_tpu.serving.generate import sample_next
 
 __all__ = ["Request", "Scheduler"]
 
@@ -101,14 +102,7 @@ def _batched_decode(
                 active, new_cache.lengths, cache.lengths
             )
         )
-        logits = logits[:, 0]
-        key, sub = jax.random.split(key)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        temp = jnp.maximum(temps, 1e-6)[:, None]
-        sampled = jax.random.categorical(
-            sub, logits / temp, axis=-1
-        ).astype(jnp.int32)
-        nxt = jnp.where(temps > 0, sampled, greedy)
+        nxt, key = sample_next(logits[:, 0], key, temps)
         nxt = jnp.where(active, nxt, tok)
         return (nxt, new_cache, key), nxt
 
@@ -160,14 +154,7 @@ def _batched_decode_tp(
                     active, new_cache.lengths, cache.lengths
                 )
             )
-            logits = logits[:, 0]
-            key, sub = jax.random.split(key)
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            temp = jnp.maximum(temps, 1e-6)[:, None]
-            sampled = jax.random.categorical(
-                sub, logits / temp, axis=-1
-            ).astype(jnp.int32)
-            nxt = jnp.where(temps > 0, sampled, greedy)
+            nxt, key = sample_next(logits[:, 0], key, temps)
             nxt = jnp.where(active, nxt, tok)
             return (nxt, new_cache, key), nxt
 
