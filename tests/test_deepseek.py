@@ -120,8 +120,18 @@ def _build_hf(model, rope_scaling=None):
             torch.from_numpy(_dequant_layer_np(attn.kv_a_proj))
         )
         sd[f"{p}.self_attn.kv_a_layernorm.weight"] = t(attn.kv_a_norm)
+        # kv_b was absorbed into uk/uv at load (latent attention);
+        # rebuild the equivalent kv_b weight for HF from them so the
+        # reference uses exactly the weights our model computes with
+        uk = np.asarray(attn.uk, dtype=np.float32)  # (l, nh, dn)
+        uv = np.asarray(attn.uv, dtype=np.float32)  # (l, nh, dv)
+        kv_b_w = (
+            np.concatenate([uk, uv], axis=2)  # (l, nh, dn+dv)
+            .transpose(1, 2, 0)
+            .reshape(-1, uk.shape[0])
+        )
         sd[f"{p}.self_attn.kv_b_proj.weight"] = torch.from_numpy(
-            _dequant_layer_np(attn.kv_b_proj)
+            np.ascontiguousarray(kv_b_w)
         )
         sd[f"{p}.self_attn.o_proj.weight"] = torch.from_numpy(
             _dequant_layer_np(attn.o_proj)

@@ -112,6 +112,35 @@ def test_70b_int4_8way_aot_compiles(parallel):
     )
 
 
+def test_deepseek_r1_plan_compiles_8way():
+    """DeepSeek-R1 geometry (MLA + 256-expert MoE — the reference's
+    flagship deploy target, documents/deepseek.md) at reduced depth:
+    both placements AOT-compile sharded 8-way; the full-depth budget
+    (32 chips, 11.5 GiB/chip int4) is validated analytically."""
+    from vptq_tpu.parallel.sharding import make_mesh
+    from vptq_tpu.utils import memory as hbm
+
+    g = dict(GEOMETRIES["deepseek-r1"])
+    g["num_hidden_layers"] = 4
+    cfg = ModelConfig(**{**dict(tie_word_embeddings=False), **g})
+    mesh = make_mesh(
+        data=1, model=8, devices=np.asarray(jax.devices()[:8])
+    )
+    for par in ("tp", "gspmd"):
+        compiled = validate_plan(
+            cfg, "int4", mesh, max_seq=512, parallel=par
+        )
+        assert compiled.memory_analysis() is not None
+
+    full = ModelConfig(
+        **{**dict(tie_word_embeddings=False), **GEOMETRIES["deepseek-r1"]}
+    )
+    est = hbm.estimate_model_bytes(full, "int4", tp_shards=32)
+    kv = hbm.kv_cache_bytes(full, 1, 2048)
+    per_chip = (est["total"] + kv) / 32
+    assert per_chip < 13 * GiB, per_chip / GiB
+
+
 def test_mixtral_moe_plan_compiles_2way():
     """MoE geometry goes through StackedExperts EP specs; a cheap
     2-device compile at reduced depth keeps CI fast while covering

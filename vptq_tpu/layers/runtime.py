@@ -458,6 +458,51 @@ def dense_to_int4(layer: DenseLinear) -> Int4Linear:
     return _encode_int4(w, layer.bias)
 
 
+def linear_exact_weight(layer, logical_in: Optional[int] = None):
+    """Exact f32 host dequant of ANY linear, sliced to the logical
+    in_features (drops encoder zero-padding)."""
+    import jax
+    import numpy as np
+
+    if isinstance(layer, VQLinear):
+        w = _exact_weight(layer)
+    elif isinstance(layer, Int8Linear):
+        w = int8_weight(layer)
+    elif isinstance(layer, Int4Linear):
+        w = int4_weight(layer)
+    else:  # DenseLinear
+        w = np.asarray(jax.device_get(layer.weight), np.float32)
+    if logical_in is not None:
+        w = w[:, :logical_in]
+    return w
+
+
+def absorb_mla(attn, cfg, dtype=jnp.bfloat16):
+    """Absorb an MLA layer's kv_b up-projections into uk/uv.
+
+    Attention then runs entirely in the compressed-latent space
+    (models/llama.py _mla_attention): the cache stores kv_lora+rope
+    dims per token instead of per-head expansions, and kv_b_proj is
+    dropped from the runtime pytree. Host-side, one-time; exact up
+    to the bf16 rounding of the absorbed matrices.
+    """
+    import numpy as np
+
+    if attn.uk is not None:
+        return attn
+    nh = cfg.num_attention_heads
+    dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+    w = linear_exact_weight(attn.kv_b_proj, cfg.kv_lora_rank)
+    w = w.reshape(nh, dn + dv, cfg.kv_lora_rank)
+    uk = np.ascontiguousarray(
+        w[:, :dn, :].transpose(2, 0, 1)
+    ).astype(dtype)  # (kv_lora, nh, dn)
+    uv = np.ascontiguousarray(
+        w[:, dn:, :].transpose(2, 0, 1)
+    ).astype(dtype)  # (kv_lora, nh, dv)
+    return attn.replace(kv_b_proj=None, uk=uk, uv=uv)
+
+
 def to_bf16(layer: VQLinear) -> DenseLinear:
     w = _exact_weight(layer)
     return DenseLinear(

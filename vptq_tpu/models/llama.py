@@ -133,11 +133,21 @@ class ModelConfig:
 
     @property
     def cache_k_dim(self) -> int:
-        return self.qk_head_dim if self.is_mla else self.head_dim
+        # MLA caches the COMPRESSED latent (+ the shared rope key),
+        # not per-head expansions — DeepSeek's defining memory
+        # advantage (~71x smaller than expanded per-head KV at R1
+        # geometry). Attention runs in latent space with the kv_b
+        # up-projections absorbed into q and output (MlaAttention.uk/
+        # .uv); see _mla_attention.
+        if self.is_mla:
+            return self.kv_lora_rank + self.qk_rope_head_dim
+        return self.head_dim
 
     @property
     def cache_v_dim(self) -> int:
-        return self.v_head_dim if self.is_mla else self.head_dim
+        # the latent again (the value head reads the same vector; a
+        # further ~1.9x is available by aliasing it onto the k cache)
+        return self.kv_lora_rank if self.is_mla else self.head_dim
 
     @property
     def rope_dim(self) -> int:
@@ -368,12 +378,19 @@ class MlaAttention:
 
     kv_a_proj: Linear  # kv_a_proj_with_mqa
     kv_a_norm: jnp.ndarray
-    kv_b_proj: Linear
+    kv_b_proj: Optional[Linear]  # None once absorbed into uk/uv
     o_proj: Linear
     q_proj: Optional[Linear] = None  # when q_lora_rank is None
     q_a_proj: Optional[Linear] = None
     q_a_norm: Optional[jnp.ndarray] = None
     q_b_proj: Optional[Linear] = None
+    # kv_b up-projections absorbed for latent-space attention
+    # (loader.absorb_mla): uk (kv_lora, nh, qk_nope), uv (kv_lora,
+    # nh, v_head) — score(q,h,t) = (q_nope@uk_h)·c_t + q_rot·k_rot,
+    # out_h = (Σ p_t c_t)@uv_h. Exact reassociation of the
+    # expanded-KV math.
+    uk: Optional[jnp.ndarray] = None
+    uv: Optional[jnp.ndarray] = None
 
 
 @struct.dataclass
@@ -439,10 +456,8 @@ class KVCache:
 def init_cache(
     cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
 ) -> KVCache:
-    kv_heads = (
-        cfg.num_attention_heads if cfg.is_mla
-        else cfg.num_key_value_heads
-    )
+    # MLA caches one shared latent "head" (see cache_k_dim)
+    kv_heads = 1 if cfg.is_mla else cfg.num_key_value_heads
     base = (batch, max_seq, kv_heads)
     return KVCache(
         k=tuple(
@@ -779,13 +794,20 @@ def _mla_attention(
     cfg: ModelConfig,
     tp: Optional[Tuple[str, int]] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """DeepSeek MLA forward (HF DeepseekV3Attention semantics).
+    """DeepSeek MLA forward (HF DeepseekV3Attention semantics) in
+    LATENT space: the cache holds the compressed kv latent plus the
+    shared rope key (one "head" of kv_lora+dr dims — ~71x smaller
+    than expanded per-head KV at R1 geometry). The kv_b
+    up-projections are pre-absorbed (loader.absorb_mla): scores are
+    (q_nope@uk_h)·c_t + q_rot·k_rot and the per-head output is
+    (Σ p_t c_t)@uv_h — an exact reassociation of the expanded math
+    (same softmax inputs, same result up to fp rounding).
 
     Under shard_map TP (``tp``): the compressed projections
     (q_a / kv_a) are replicated — they are shared across heads — and
-    the per-head expansions (q / q_b / kv_b) are column-parallel over
-    heads, so this device computes nh/size whole heads; o_proj is
-    row-parallel (see parallel/tp.py _place_mla)."""
+    the per-head tensors (q / q_b, uk, uv) are column-parallel over
+    heads; the latent cache is replicated over the TP axis; o_proj
+    is row-parallel (see parallel/tp.py _place_mla)."""
     import math
 
     batch, seq, _ = x.shape
@@ -797,6 +819,11 @@ def _mla_attention(
         cfg.qk_rope_head_dim,
         cfg.v_head_dim,
     )
+    if attn.uk is None:
+        raise ValueError(
+            "MlaAttention.uk/.uv missing — load through "
+            "models.loader (absorb_mla) before running"
+        )
 
     if attn.q_proj is not None:
         q = attn.q_proj(x)
@@ -809,18 +836,22 @@ def _mla_attention(
 
     ckv = attn.kv_a_proj(x)  # (B, S, kv_lora + dr)
     k_pass, k_rot = jnp.split(ckv, [cfg.kv_lora_rank], axis=-1)
-    kv = attn.kv_b_proj(
-        rms_norm(k_pass, attn.kv_a_norm, cfg.rms_norm_eps)
-    ).reshape(batch, seq, nh, dn + dv)
-    k_nope, v = jnp.split(kv, [dn], axis=-1)
+    c = rms_norm(k_pass, attn.kv_a_norm, cfg.rms_norm_eps)
     k_rot = k_rot.reshape(batch, seq, 1, dr)
 
     q_rot = apply_rope(q_rot, cos, sin, cfg.rope_interleave)
     k_rot = apply_rope(k_rot, cos, sin, cfg.rope_interleave)
-    k_rot = jnp.broadcast_to(k_rot, (batch, seq, nh, dr))
 
-    q_full = jnp.concatenate([q_nope, q_rot], axis=-1)
-    k_full = jnp.concatenate([k_nope, k_rot], axis=-1)
+    # absorb uk into the query: q_eff·c == q_nope·k_nope
+    q_eff = jnp.einsum(
+        "bsnd,lnd->bsnl", q_nope, attn.uk.astype(q_nope.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(q_nope.dtype)
+    q_full = jnp.concatenate([q_eff, q_rot], axis=-1)
+    k_lat = jnp.concatenate(
+        [c[:, :, None, :], k_rot.astype(c.dtype)], axis=-1
+    )
+    v_lat = c[:, :, None, :]
 
     # softmax scaling with yarn mscale (DeepseekV3Attention.__init__)
     scale = cfg.qk_head_dim ** -0.5
@@ -832,9 +863,14 @@ def _mla_attention(
             mscale = 0.1 * mscale_all_dim * math.log(factor) + 1.0
             scale = scale * mscale * mscale
 
-    out, new_cache = _cache_and_attend(
-        block_idx, q_full, k_full, v, cache, cfg, scale=scale
+    out_lat, new_cache = _cache_and_attend(
+        block_idx, q_full, k_lat, v_lat, cache, cfg, scale=scale
     )
+    out_lat = out_lat.reshape(batch, seq, nh, cfg.kv_lora_rank)
+    out = jnp.einsum(
+        "bsnl,lnv->bsnv", out_lat, attn.uv.astype(out_lat.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(batch, seq, nh * dv)
     return _row_parallel_out(attn.o_proj, out, x.dtype, tp), new_cache
 
 
@@ -1235,7 +1271,26 @@ def forward(
     """
     cfg = model.cfg
     batch, seq = tokens.shape
-    x = model.embed_tokens[tokens].astype(dtype)
+    if (
+        tp is not None
+        and model.embed_tokens.shape[0] < cfg.vocab_size
+    ):
+        # vocab-sharded embedding (untied models): local-range
+        # lookup + psum — one bf16 activations-sized all-reduce
+        # instead of a replicated (vocab, hidden) table per chip
+        v_local = model.embed_tokens.shape[0]
+        lo = (jax.lax.axis_index(tp[0]) * v_local).astype(jnp.int32)
+        idx = tokens - lo
+        ok = (idx >= 0) & (idx < v_local)
+        safe = jnp.clip(idx, 0, v_local - 1)
+        x = jnp.where(
+            ok[..., None],
+            model.embed_tokens[safe].astype(dtype),
+            jnp.zeros((), dtype),
+        )
+        x = jax.lax.psum(x, tp[0])
+    else:
+        x = model.embed_tokens[tokens].astype(dtype)
     positions = (
         cache.lengths[:, None]
         + jnp.arange(seq)[None, :].astype(jnp.int32)

@@ -440,7 +440,9 @@ def load_model(
             )
         else:
             q_kwargs = dict(q_proj=lin(f"{p}.q_proj"))
-        return MlaAttention(
+        from vptq_tpu.layers.runtime import absorb_mla
+
+        attn = MlaAttention(
             kv_a_proj=lin(f"{p}.kv_a_proj_with_mqa"),
             kv_a_norm=jnp.asarray(
                 np.asarray(
@@ -451,6 +453,8 @@ def load_model(
             o_proj=lin(f"{p}.o_proj", row=True),
             **q_kwargs,
         )
+        # latent-space attention: absorb kv_b into uk/uv and drop it
+        return absorb_mla(attn, model_cfg, dtype)
 
     def deepseek_moe(p, layer_idx):
         from vptq_tpu.models.llama import DeepseekMoe
@@ -597,7 +601,19 @@ def load_model(
         logger.warning("unused checkpoint tensors: %s", leftover[:8])
 
     if mesh is not None:
-        embed = _replicated(embed, mesh)
+        if tp_mode and lm_head is not None:
+            # untied: vocab-sharded embedding (forward does a
+            # local-range lookup + psum under shard_map TP)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            import jax
+
+            embed = jax.device_put(
+                embed,
+                NamedSharding(mesh, PartitionSpec("model", None)),
+            )
+        else:
+            embed = _replicated(embed, mesh)
         norm = _replicated(norm, mesh)
         if lm_head is not None:
             if tp_mode:

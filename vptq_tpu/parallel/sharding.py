@@ -214,12 +214,19 @@ def shard_block(block: Block, mesh: Mesh) -> Block:
         attn = MlaAttention(
             kv_a_proj=_shard_linear(a.kv_a_proj, mesh, False),
             kv_a_norm=_put(a.kv_a_norm, mesh, P()),
-            kv_b_proj=_shard_linear(a.kv_b_proj, mesh, True),
+            kv_b_proj=(
+                None
+                if a.kv_b_proj is None
+                else _shard_linear(a.kv_b_proj, mesh, True)
+            ),
             o_proj=_shard_linear(a.o_proj, mesh, False),
             q_proj=_shard_linear(a.q_proj, mesh, True),
             q_a_proj=_shard_linear(a.q_a_proj, mesh, False),
             q_a_norm=_put(a.q_a_norm, mesh, P()),
             q_b_proj=_shard_linear(a.q_b_proj, mesh, True),
+            # absorbed up-projections: heads axis sharded
+            uk=_put(a.uk, mesh, P(None, "model", None)),
+            uv=_put(a.uv, mesh, P(None, "model", None)),
         )
     else:
         attn = Attention(

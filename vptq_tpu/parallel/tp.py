@@ -337,10 +337,17 @@ def _place_moe(moe: MoeMlp, mesh, axis, size):
 
 def _place_mla(attn, mesh, axis, size, cfg, reencode_rows=True):
     """MLA placement: compressed projections (q_a / kv_a + norms)
-    replicated — they are shared across heads — per-head expansions
-    (q / q_b / kv_b) column-parallel over heads, o_proj row-parallel
-    over heads (logical in = nh * v_head_dim). Head rows are
-    contiguous per head, so no permutation is needed."""
+    replicated — they are shared across heads — per-head tensors
+    (q / q_b and the absorbed uk/uv) column-parallel over heads,
+    o_proj row-parallel over heads (logical in = nh * v_head_dim).
+    Head rows are contiguous per head, so no permutation is needed.
+    The latent cache is replicated over the TP axis (its single
+    shared "head" cannot shard)."""
+    if attn.uk is None:
+        raise ValueError(
+            "MLA TP placement needs the absorbed uk/uv "
+            "(layers.runtime.absorb_mla)"
+        )
     nh = cfg.num_attention_heads
     q = q_s = q_a = q_a_s = q_b = q_b_s = None
     q_a_norm = q_a_norm_s = None
@@ -352,7 +359,7 @@ def _place_mla(attn, mesh, axis, size, cfg, reencode_rows=True):
         q_a_norm_s = P()
         q_b, q_b_s = _col_parallel(attn.q_b_proj, mesh, axis)
     kv_a, kv_a_s = _replicated_linear(attn.kv_a_proj, mesh)
-    kv_b, kv_b_s = _col_parallel(attn.kv_b_proj, mesh, axis)
+    u_spec = P(None, axis, None)
     o, o_s = _row_parallel(
         attn.o_proj, mesh, axis, size, nh * cfg.v_head_dim,
         reencode=reencode_rows,
@@ -360,22 +367,26 @@ def _place_mla(attn, mesh, axis, size, cfg, reencode_rows=True):
     placed = MlaAttention(
         kv_a_proj=kv_a,
         kv_a_norm=_put(attn.kv_a_norm, mesh, P()),
-        kv_b_proj=kv_b,
+        kv_b_proj=None,
         o_proj=o,
         q_proj=q,
         q_a_proj=q_a,
         q_a_norm=q_a_norm,
         q_b_proj=q_b,
+        uk=_put(attn.uk, mesh, u_spec),
+        uv=_put(attn.uv, mesh, u_spec),
     )
     spec = MlaAttention(
         kv_a_proj=kv_a_s,
         kv_a_norm=P(),
-        kv_b_proj=kv_b_s,
+        kv_b_proj=None,
         o_proj=o_s,
         q_proj=q_s,
         q_a_proj=q_a_s,
         q_a_norm=q_a_norm_s,
         q_b_proj=q_b_s,
+        uk=u_spec,
+        uv=u_spec,
     )
     return placed, spec
 
@@ -548,17 +559,21 @@ def tp_place_model(
 
     if model.lm_head is not None:
         lm_head, lm_head_s = _col_parallel(model.lm_head, mesh, axis)
+        # untied: the embedding table shards over vocab too (the
+        # forward does a local-range lookup + psum)
+        embed_spec = P(axis, None)
     else:
         lm_head = lm_head_s = None
+        embed_spec = P()  # tied: used as lm_head weight, replicated
     placed = Model(
-        embed_tokens=_put(model.embed_tokens, mesh, P()),
+        embed_tokens=_put(model.embed_tokens, mesh, embed_spec),
         blocks=tuple(blocks),
         norm=_put(model.norm, mesh, P()),
         lm_head=lm_head,
         cfg=cfg,
     )
     specs = Model(
-        embed_tokens=P(),
+        embed_tokens=embed_spec,
         blocks=tuple(block_specs),
         norm=P(),
         lm_head=lm_head_s,
@@ -579,11 +594,17 @@ def cache_tp_specs(
     cache: KVCache, axis: str = "model", data_axis=None
 ) -> KVCache:
     """KV cache specs: batch over ``data_axis`` (None = replicated),
-    heads over the TP axis (matches the local attention heads)."""
-    kv = P(data_axis, None, axis, None)
+    heads over the TP axis (matches the local attention heads). An
+    MLA latent cache has ONE shared "head" — it stays replicated
+    over the TP axis (tiny: kv_lora+rope dims per token)."""
+
+    def spec(buf):
+        heads = axis if int(buf.shape[2]) > 1 else None
+        return P(data_axis, None, heads, None)
+
     return KVCache(
-        k=tuple(kv for _ in cache.k),
-        v=tuple(kv for _ in cache.v),
+        k=tuple(spec(b) for b in cache.k),
+        v=tuple(spec(b) for b in cache.v),
         lengths=P(data_axis),
     )
 

@@ -85,6 +85,8 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
             put_linear(f"{p}.attn.q_a_proj", a.q_a_proj)
             put(f"{p}.attn.q_a_norm", a.q_a_norm)
             put_linear(f"{p}.attn.q_b_proj", a.q_b_proj)
+            put(f"{p}.attn.uk", a.uk)
+            put(f"{p}.attn.uv", a.uv)
         else:
             for name in ("q_proj", "k_proj", "v_proj", "o_proj",
                          "qkv_proj"):
@@ -295,6 +297,8 @@ def load_runtime_model(runtime_dir: str):
                 q_a_proj=get_linear(f"{p}.attn.q_a_proj"),
                 q_a_norm=state.get(f"{p}.attn.q_a_norm"),
                 q_b_proj=get_linear(f"{p}.attn.q_b_proj"),
+                uk=state.get(f"{p}.attn.uk"),
+                uv=state.get(f"{p}.attn.uv"),
             )
         else:
             attn = Attention(

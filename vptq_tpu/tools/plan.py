@@ -78,6 +78,22 @@ GEOMETRIES = {
         num_local_experts=8, num_experts_per_tok=2,
         model_type="mixtral",
     ),
+    # deepseek-ai/DeepSeek-R1 config.json (671B MoE, MLA) — the
+    # reference's flagship deployment target
+    # (reference documents/deepseek.md:32-45)
+    "deepseek-r1": dict(
+        vocab_size=129280, hidden_size=7168,
+        intermediate_size=18432, moe_intermediate_size=2048,
+        num_hidden_layers=61, num_attention_heads=128,
+        num_key_value_heads=128, head_dim=64,
+        q_lora_rank=1536, kv_lora_rank=512,
+        qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+        n_routed_experts=256, num_experts_per_tok=8,
+        n_shared_experts=1, first_k_dense_replace=3,
+        n_group=8, topk_group=4, norm_topk_prob=True,
+        routed_scaling_factor=2.5,
+        model_type="deepseek_v3",
+    ),
 }
 
 
@@ -160,56 +176,128 @@ def abstract_runtime_model(
     inter = cfg.intermediate_size
     norm = _abs((h,), jnp.float32)
 
-    moe = cfg.num_local_experts > 0
-    if moe:
+    def abs_stacked(e: int, ein: int, eout_gateup: int, einter: int):
+        """StackedExperts shapes (the encoders' stacking rules)."""
         if fmt not in ("int8", "int4"):
             raise ValueError("MoE plan needs int8/int4 (StackedExperts)")
-        e = cfg.num_local_experts
-        in_p_h = h + ((-h) % (2048 if fmt == "int4" else pick_group(h)))
-        in_p_i = inter + (
-            (-inter) % (2048 if fmt == "int4" else pick_group(inter))
+        in_p_h = ein + (
+            (-ein) % (2048 if fmt == "int4" else pick_group(ein))
+        )
+        in_p_i = einter + (
+            (-einter) % (2048 if fmt == "int4" else pick_group(einter))
         )
         div = 2 if fmt == "int4" else 1
         sdt = jnp.bfloat16 if fmt == "int4" else jnp.float32
-        sg_h = in_p_h // (
-            128 if fmt == "int4" else pick_group(h)
-        )
+        sg_h = in_p_h // (128 if fmt == "int4" else pick_group(ein))
         sg_i = in_p_i // (
-            128 if fmt == "int4" else pick_group(inter)
+            128 if fmt == "int4" else pick_group(einter)
         )
-        stacked = StackedExperts(
-            gate_up_wq=_abs((e, 2 * inter, in_p_h // div), jnp.int8),
-            gate_up_scales=_abs((e, sg_h, 2 * inter), sdt),
-            down_wq=_abs((e, h, in_p_i // div), jnp.int8),
-            down_scales=_abs((e, sg_i, h), sdt),
+        return StackedExperts(
+            gate_up_wq=_abs((e, eout_gateup, in_p_h // div), jnp.int8),
+            gate_up_scales=_abs((e, sg_h, eout_gateup), sdt),
+            down_wq=_abs((e, ein, in_p_i // div), jnp.int8),
+            down_scales=_abs((e, sg_i, ein), sdt),
             fmt=fmt,
         )
-        mlp = MoeMlp(
-            router=_abs_linear(h, cfg.num_local_experts, "bf16"),
-            experts=(),
-            num_experts_per_tok=cfg.num_experts_per_tok,
-            stacked=stacked,
-        )
-    else:
-        mlp = Mlp(
+
+    def dense_mlp(width: int) -> Mlp:
+        return Mlp(
             gate_proj=None,
             up_proj=None,
-            down_proj=_abs_linear(inter, h, fmt, tp_shards),
-            gate_up_proj=_abs_linear(h, 2 * inter, fmt),
+            down_proj=_abs_linear(width, h, fmt, tp_shards),
+            gate_up_proj=_abs_linear(h, 2 * width, fmt),
         )
 
-    block = Block(
-        input_layernorm=norm,
-        attn=Attention(
-            q_proj=None,
-            k_proj=None,
-            v_proj=None,
-            o_proj=_abs_linear(nh * hd, h, fmt, tp_shards),
-            qkv_proj=_abs_linear(h, qkv_out, fmt),
-        ),
-        post_attention_layernorm=norm,
-        mlp=mlp,
-    )
+    if cfg.is_mla:
+        from vptq_tpu.models.llama import DeepseekMoe, MlaAttention
+
+        dn, dr, dv = (
+            cfg.qk_nope_head_dim,
+            cfg.qk_rope_head_dim,
+            cfg.v_head_dim,
+        )
+        kv_lora = cfg.kv_lora_rank
+
+        def mk_attn():
+            if cfg.q_lora_rank:
+                q_kwargs = dict(
+                    q_a_proj=_abs_linear(h, cfg.q_lora_rank, fmt),
+                    q_a_norm=_abs((cfg.q_lora_rank,), jnp.float32),
+                    q_b_proj=_abs_linear(
+                        cfg.q_lora_rank, nh * (dn + dr), fmt
+                    ),
+                )
+            else:
+                q_kwargs = dict(
+                    q_proj=_abs_linear(h, nh * (dn + dr), fmt)
+                )
+            return MlaAttention(
+                kv_a_proj=_abs_linear(h, kv_lora + dr, fmt),
+                kv_a_norm=_abs((kv_lora,), jnp.float32),
+                kv_b_proj=None,  # absorbed (latent attention)
+                o_proj=_abs_linear(nh * dv, h, fmt, tp_shards),
+                uk=_abs((kv_lora, nh, dn), jnp.bfloat16),
+                uv=_abs((kv_lora, nh, dv), jnp.bfloat16),
+                **q_kwargs,
+            )
+
+        e = cfg.n_routed_experts
+        mi = cfg.moe_intermediate_size
+        shared_w = mi * cfg.n_shared_experts
+
+        def mk_mlp(layer_idx: int):
+            if layer_idx < cfg.first_k_dense_replace:
+                return dense_mlp(inter)
+            return DeepseekMoe(
+                router_weight=_abs((e, h), jnp.float32),
+                correction_bias=_abs((e,), jnp.float32),
+                experts=(),
+                shared_experts=dense_mlp(shared_w),
+                top_k=cfg.num_experts_per_tok,
+                n_group=cfg.n_group,
+                topk_group=cfg.topk_group,
+                norm_topk_prob=cfg.norm_topk_prob,
+                routed_scaling_factor=cfg.routed_scaling_factor,
+                stacked=abs_stacked(e, h, 2 * mi, mi),
+            )
+
+        blocks = tuple(
+            Block(
+                input_layernorm=norm,
+                attn=mk_attn(),
+                post_attention_layernorm=norm,
+                mlp=mk_mlp(i),
+            )
+            for i in range(cfg.num_hidden_layers)
+        )
+    else:
+        moe = cfg.num_local_experts > 0
+        if moe:
+            mlp = MoeMlp(
+                router=_abs_linear(h, cfg.num_local_experts, "bf16"),
+                experts=(),
+                num_experts_per_tok=cfg.num_experts_per_tok,
+                stacked=abs_stacked(
+                    cfg.num_local_experts, h, 2 * inter, inter
+                ),
+            )
+        else:
+            mlp = dense_mlp(inter)
+
+        block = Block(
+            input_layernorm=norm,
+            attn=Attention(
+                q_proj=None,
+                k_proj=None,
+                v_proj=None,
+                o_proj=_abs_linear(nh * hd, h, fmt, tp_shards),
+                qkv_proj=_abs_linear(h, qkv_out, fmt),
+            ),
+            post_attention_layernorm=norm,
+            mlp=mlp,
+        )
+        blocks = tuple(block for _ in range(cfg.num_hidden_layers))
+
     lm_head = (
         None
         if cfg.tie_word_embeddings
@@ -219,7 +307,7 @@ def abstract_runtime_model(
     )
     return Model(
         embed_tokens=_abs((cfg.vocab_size, h), jnp.bfloat16),
-        blocks=tuple(block for _ in range(cfg.num_hidden_layers)),
+        blocks=blocks,
         norm=norm,
         lm_head=lm_head,
         cfg=cfg,
@@ -249,9 +337,42 @@ def _tp_abstract_specs(model: Model, axis: str = "model") -> Model:
             wq=P(None, axis), scales=P(axis, None), bias=None
         )
 
+    from vptq_tpu.models.llama import DeepseekMoe, MlaAttention
+
+    def rep_lin(lin):
+        if lin is None:
+            return None
+        if isinstance(lin, DenseLinear):
+            return DenseLinear(weight=P(), bias=None)
+        return type(lin)(wq=P(), scales=P(), bias=None)
+
     blocks = []
     for b in model.blocks:
-        if isinstance(b.mlp, MoeMlp):
+        if isinstance(b.mlp, DeepseekMoe):
+            e = P(axis, None, None)
+            mlp_s = DeepseekMoe(
+                router_weight=P(),
+                correction_bias=P(),
+                experts=(),
+                shared_experts=Mlp(
+                    gate_proj=None,
+                    up_proj=None,
+                    down_proj=row(b.mlp.shared_experts.down_proj),
+                    gate_up_proj=col(
+                        b.mlp.shared_experts.gate_up_proj
+                    ),
+                ),
+                top_k=b.mlp.top_k,
+                n_group=b.mlp.n_group,
+                topk_group=b.mlp.topk_group,
+                norm_topk_prob=b.mlp.norm_topk_prob,
+                routed_scaling_factor=b.mlp.routed_scaling_factor,
+                stacked=StackedExperts(
+                    gate_up_wq=e, gate_up_scales=e,
+                    down_wq=e, down_scales=e, fmt=b.mlp.stacked.fmt,
+                ),
+            )
+        elif isinstance(b.mlp, MoeMlp):
             e = P(axis, None, None)
             mlp_s = MoeMlp(
                 router=DenseLinear(weight=P(), bias=None),
@@ -269,22 +390,37 @@ def _tp_abstract_specs(model: Model, axis: str = "model") -> Model:
                 down_proj=row(b.mlp.down_proj),
                 gate_up_proj=col(b.mlp.gate_up_proj),
             )
+        if isinstance(b.attn, MlaAttention):
+            attn_s = MlaAttention(
+                kv_a_proj=rep_lin(b.attn.kv_a_proj),
+                kv_a_norm=P(),
+                kv_b_proj=None,
+                o_proj=row(b.attn.o_proj),
+                q_proj=col(b.attn.q_proj),
+                q_a_proj=rep_lin(b.attn.q_a_proj),
+                q_a_norm=None if b.attn.q_a_norm is None else P(),
+                q_b_proj=col(b.attn.q_b_proj),
+                uk=P(None, axis, None),
+                uv=P(None, axis, None),
+            )
+        else:
+            attn_s = Attention(
+                q_proj=col(b.attn.q_proj),
+                k_proj=col(b.attn.k_proj),
+                v_proj=col(b.attn.v_proj),
+                o_proj=row(b.attn.o_proj),
+                qkv_proj=col(b.attn.qkv_proj),
+            )
         blocks.append(
             Block(
                 input_layernorm=P(),
-                attn=Attention(
-                    q_proj=col(b.attn.q_proj),
-                    k_proj=col(b.attn.k_proj),
-                    v_proj=col(b.attn.v_proj),
-                    o_proj=row(b.attn.o_proj),
-                    qkv_proj=col(b.attn.qkv_proj),
-                ),
+                attn=attn_s,
                 post_attention_layernorm=P(),
                 mlp=mlp_s,
             )
         )
     return Model(
-        embed_tokens=P(),
+        embed_tokens=P(axis, None) if model.lm_head is not None else P(),
         blocks=tuple(blocks),
         norm=P(),
         lm_head=col(model.lm_head),

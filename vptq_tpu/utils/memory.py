@@ -129,6 +129,10 @@ class LinearGeom:
     out_features: int
     in_features: int
     count: int  # how many instances across the model
+    # True where shard_map TP shards the in axis (o_proj and the
+    # dense/shared-expert down_proj); routed-expert weights shard on
+    # the EXPERT axis and stay whole per device
+    row_parallel: bool = False
 
 
 def model_geometry(cfg) -> List[LinearGeom]:
@@ -167,7 +171,9 @@ def model_geometry(cfg) -> List[LinearGeom]:
                 L,
             )
         )
-        geoms.append(LinearGeom("o_proj", h, nh * dv, L))
+        geoms.append(
+            LinearGeom("o_proj", h, nh * dv, L, row_parallel=True)
+        )
     else:
         nh, nkv, hd = (
             cfg.num_attention_heads,
@@ -177,7 +183,9 @@ def model_geometry(cfg) -> List[LinearGeom]:
         geoms.append(LinearGeom("q_proj", nh * hd, h, L))
         geoms.append(LinearGeom("k_proj", nkv * hd, h, L))
         geoms.append(LinearGeom("v_proj", nkv * hd, h, L))
-        geoms.append(LinearGeom("o_proj", h, nh * hd, L))
+        geoms.append(
+            LinearGeom("o_proj", h, nh * hd, L, row_parallel=True)
+        )
 
     if cfg.n_routed_experts:  # DeepSeek MoE
         dense_layers = min(cfg.first_k_dense_replace, L)
@@ -185,7 +193,11 @@ def model_geometry(cfg) -> List[LinearGeom]:
         inter = cfg.intermediate_size
         for nm in ("gate_proj", "up_proj"):
             geoms.append(LinearGeom(nm, inter, h, dense_layers))
-        geoms.append(LinearGeom("down_proj", h, inter, dense_layers))
+        geoms.append(
+            LinearGeom(
+                "down_proj", h, inter, dense_layers, row_parallel=True
+            )
+        )
         mi = cfg.moe_intermediate_size
         n_exp = cfg.n_routed_experts
         for nm in ("gate_proj", "up_proj"):
@@ -198,7 +210,10 @@ def model_geometry(cfg) -> List[LinearGeom]:
                     LinearGeom(nm, mi * shared, h, moe_layers)
                 )
             geoms.append(
-                LinearGeom("down_proj", h, mi * shared, moe_layers)
+                LinearGeom(
+                    "down_proj", h, mi * shared, moe_layers,
+                    row_parallel=True,
+                )
             )
     elif cfg.num_local_experts:  # Mixtral MoE
         inter = cfg.intermediate_size
@@ -210,7 +225,9 @@ def model_geometry(cfg) -> List[LinearGeom]:
         inter = cfg.intermediate_size
         geoms.append(LinearGeom("gate_proj", inter, h, L))
         geoms.append(LinearGeom("up_proj", inter, h, L))
-        geoms.append(LinearGeom("down_proj", h, inter, L))
+        geoms.append(
+            LinearGeom("down_proj", h, inter, L, row_parallel=True)
+        )
     return geoms
 
 
@@ -234,9 +251,6 @@ def _lookup_geom(qcfg, tail: str, out_f: int, in_f: int):
     return fallback
 
 
-_ROW_PARALLEL_NAMES = ("o_proj", "down_proj")
-
-
 def estimate_model_bytes(
     cfg,
     fmt: str,
@@ -258,10 +272,12 @@ def estimate_model_bytes(
     blocks = 0
     for g in model_geometry(cfg):
         row_shards = (
-            tp_shards
-            if tp_shards > 1 and g.name in _ROW_PARALLEL_NAMES
-            else 1
+            tp_shards if tp_shards > 1 and g.row_parallel else 1
         )
+        if g.name == "kv_b_proj":
+            # absorbed into bf16 uk/uv at load (latent attention)
+            blocks += 2 * g.out_features * g.in_features * g.count
+            continue
         if qcfg is not None:
             vq = _lookup_geom(
                 qcfg, g.name, g.out_features, g.in_features
@@ -298,11 +314,8 @@ def estimate_model_bytes(
 def kv_cache_bytes(
     cfg, batch: int, max_seq: int, dtype_bytes: int = 2
 ) -> int:
-    kv_heads = (
-        cfg.num_attention_heads
-        if cfg.is_mla
-        else cfg.num_key_value_heads
-    )
+    # MLA caches one shared latent head (models/llama.py init_cache)
+    kv_heads = 1 if cfg.is_mla else cfg.num_key_value_heads
     per_layer = (
         batch
         * max_seq
