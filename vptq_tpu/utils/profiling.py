@@ -27,7 +27,10 @@ __all__ = ["trace", "device_time", "roofline"]
 
 # v5e single-chip peaks (Google published specs)
 V5E_HBM_GBPS = 819.0
-V5E_BF16_TFLOPS = 394.0
+# bf16 MXU peak per v5e chip (the 394 figure often quoted is the
+# int8 rate; every dot in this codebase accumulates from bf16
+# operands)
+V5E_BF16_TFLOPS = 197.0
 
 
 @contextlib.contextmanager
