@@ -236,11 +236,12 @@ def main():
         sched.submit(reqs[0][:80], max_new_tokens=4)
         sched.run()
         t0 = time.time()
-        for r in reqs:
-            sched.submit(r, max_new_tokens=128)
+        ids = [sched.submit(r, max_new_tokens=128) for r in reqs]
         out = sched.run()
         dt = time.time() - t0
-        total = sum(len(v) for v in out.values()) - 4
+        # run() returns all finished requests incl. warmups — count
+        # only the timed ones
+        total = sum(len(out[rid]) for rid in ids)
         print(
             json.dumps(
                 {

@@ -171,3 +171,20 @@ def test_scheduler_tp_matches_plain(tmp_path):
     got = sched_tp.run()
     for rid, single in zip(ids_tp, singles):
         assert got[rid] == single, (rid, got[rid], single)
+
+
+def test_prefill_bucket_overflow_does_not_corrupt_cache(tmp_path):
+    """A bucket-padded prefill chunk whose pad rows extend past
+    max_seq must drop them, not clamp the scatter start and
+    overwrite earlier K/V rows (silent corruption found in review):
+    a 35-token prompt chunked 16+16+16(pad) into a 40-row cache must
+    generate the same tokens as with a roomy cache."""
+    model = _model(tmp_path)
+    prompt = list(range(2, 37))  # 35 tokens
+    roomy = Generator(model, max_seq=64, dtype=jnp.float32,
+                      prompt_buckets=(16,))
+    want = roomy.generate(prompt, max_new_tokens=4)
+    tight = Generator(model, max_seq=40, dtype=jnp.float32,
+                      prompt_buckets=(16,))
+    got = tight.generate(prompt, max_new_tokens=4)
+    assert got == want, (got, want)

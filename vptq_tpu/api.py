@@ -76,6 +76,11 @@ class AutoModelForCausalLM:
 
             from vptq_tpu.parallel.sharding import make_mesh
 
+            if runtime_format == "codebook":
+                raise ValueError(
+                    "tp>1 requires runtime_format int8/int4/bf16 "
+                    "(codebook does not run the shard_map path)"
+                )
             mesh = make_mesh(
                 data=1, model=tp,
                 devices=np.asarray(jax.devices()[:tp]),

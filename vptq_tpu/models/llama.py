@@ -714,12 +714,19 @@ def _insert_kv(
         )
         return KVCache(k=new_k, v=new_v, lengths=cache.lengths)
     for b in range(batch):
-        off = cache.lengths[b]
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[b: b + 1], (b, off, 0, 0)
+        # scatter with mode="drop": a bucket-padded chunk whose pad
+        # rows land past max_seq must NOT wrap/clamp into earlier
+        # cache rows (dynamic_update_slice clamps the start index,
+        # silently overwriting valid K/V — the padded tail is
+        # garbage either way, but the clamp corrupted real entries)
+        pos = cache.lengths[b] + jnp.arange(k.shape[1])
+        k_cache = k_cache.at[b, pos].set(
+            k[b], mode="drop",
+            unique_indices=True, indices_are_sorted=True,
         )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[b: b + 1], (b, off, 0, 0)
+        v_cache = v_cache.at[b, pos].set(
+            v[b], mode="drop",
+            unique_indices=True, indices_are_sorted=True,
         )
     new_k = cache.k[:block_idx] + (k_cache,) + cache.k[block_idx + 1:]
     new_v = cache.v[:block_idx] + (v_cache,) + cache.v[block_idx + 1:]

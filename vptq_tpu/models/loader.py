@@ -351,34 +351,6 @@ def load_model(
         hf_config.get("quantization_config", {})
     )
 
-    # --- HBM budget check: fail BEFORE reading any weights ----------
-    from vptq_tpu.utils import memory as hbm
-
-    n_devices = mesh.devices.size if mesh is not None else 1
-    hbm_bytes = (
-        int(hbm_gb * hbm.GiB) if hbm_gb else hbm.detect_hbm_bytes()
-    )
-    est = hbm.estimate_model_bytes(
-        model_cfg, runtime_format, qcfg, quantize_lm_head
-    )
-    if hbm_bytes:
-        table = hbm.budget_table(
-            model_cfg, qcfg, hbm_bytes=hbm_bytes,
-            utilization=hbm_utilization,
-        )
-        logger.info(
-            "HBM budget (per-chip, weights + 2048-token KV):\n%s",
-            hbm.format_budget_table(table),
-        )
-        hbm.check_budget(
-            est["total"] + hbm.kv_cache_bytes(model_cfg, 1, 2048),
-            n_devices,
-            hbm_bytes,
-            hbm_utilization,
-            what=f"{runtime_format} model ({est['total'] / hbm.GiB:.2f}"
-            " GiB weights)",
-        )
-
     if parallel == "auto":
         # the shard_map Megatron path is the TPU kernel path; the
         # codebook format's XLA gathers partition natively under
@@ -399,6 +371,40 @@ def load_model(
         )
     else:
         tp_size = 1
+
+    # --- HBM budget check: fail BEFORE reading any weights ----------
+    from vptq_tpu.utils import memory as hbm
+
+    # weights shard only over the MODEL axis (the data axis carries
+    # batch/sequence with weights replicated) — dividing by all
+    # devices would let a DP x TP mesh pass the check and then OOM
+    n_devices = (
+        int(mesh.shape["model"]) if mesh is not None else 1
+    )
+    hbm_bytes = (
+        int(hbm_gb * hbm.GiB) if hbm_gb else hbm.detect_hbm_bytes()
+    )
+    est = hbm.estimate_model_bytes(
+        model_cfg, runtime_format, qcfg, quantize_lm_head,
+        tp_shards=tp_size,
+    )
+    if hbm_bytes:
+        table = hbm.budget_table(
+            model_cfg, qcfg, hbm_bytes=hbm_bytes,
+            utilization=hbm_utilization,
+        )
+        logger.info(
+            "HBM budget (per-chip, weights + 2048-token KV):\n%s",
+            hbm.format_budget_table(table),
+        )
+        hbm.check_budget(
+            est["total"] + hbm.kv_cache_bytes(model_cfg, 1, 2048),
+            n_devices,
+            hbm_bytes,
+            hbm_utilization,
+            what=f"{runtime_format} model ({est['total'] / hbm.GiB:.2f}"
+            " GiB weights)",
+        )
 
     state = load_state_dict(str(root))
 
@@ -449,7 +455,11 @@ def load_model(
                     state.pop(f"{p}.kv_a_layernorm.weight")
                 ).astype(np.float32)
             ),
-            kv_b_proj=lin(f"{p}.kv_b_proj"),
+            # raw (unconverted) layer: absorb_mla dequantizes it
+            # exactly into bf16 uk/uv — converting to int8/int4 first
+            # would bake avoidable re-encode noise into the absorbed
+            # matrices and waste the quantization pass
+            kv_b_proj=_linear(f"{p}.kv_b_proj", state, qcfg, dtype),
             o_proj=lin(f"{p}.o_proj", row=True),
             **q_kwargs,
         )

@@ -77,6 +77,13 @@ def _load(args):
 
         from vptq_tpu.parallel.sharding import make_mesh
 
+        if args.runtime_format == "codebook":
+            raise SystemExit(
+                "--tp serves through the shard_map kernel path, "
+                "which the codebook format does not support — use "
+                "--runtime-format int8/int4/bf16 (or the library-"
+                "level GSPMD path for codebook)"
+            )
         if len(jax.devices()) < args.tp:
             raise SystemExit(
                 f"--tp {args.tp} but only {len(jax.devices())} "

@@ -99,6 +99,13 @@ def decode_loop_tp(
     cache_specs = cache_tp_specs(cache, axis, b_ax)
 
     def local(model, first_token, cache, key, temperature):
+        if b_ax is not None:
+            # each data shard samples its own batch rows — fold the
+            # shard index in so shards don't share gumbel noise
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(b_ax)
+            )
+
         def step(carry, _):
             tok, cache, key = carry
             logits, cache = forward(

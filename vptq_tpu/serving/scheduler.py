@@ -143,6 +143,12 @@ def _batched_decode_tp(
     cache_specs = cache_tp_specs(cache, axis, b_ax)
 
     def local(model, tokens, cache, key, temps, active):
+        if b_ax is not None:
+            # per-data-shard sampling noise (see decode_loop_tp)
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(b_ax)
+            )
+
         def step(carry, _):
             tok, cache, key = carry
             logits, new_cache = forward(

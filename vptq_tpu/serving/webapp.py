@@ -134,9 +134,16 @@ def _switch_model(name: str) -> None:
     if st.load_fn is None:
         raise ValueError("model switching not configured")
     with st.lock:
-        # free the old model's HBM before loading the new one
+        # free the old model's HBM before loading the new one, but
+        # restore it if the load fails — a bad hub id must not brick
+        # the server
+        old_gen, old_name = st.generator, st.current
         st.generator = None
-        gen, tok = st.load_fn(st.models[name])
+        try:
+            gen, tok = st.load_fn(st.models[name])
+        except Exception:
+            st.generator, st.current = old_gen, old_name
+            raise
         st.generator = gen
         if tok is not None:
             st.tokenizer = tok
@@ -149,9 +156,6 @@ def _generate(messages, stream_callback=None):
     ``stream_callback(delta_text)`` is invoked per decoded token.
     """
     st = _State
-    ids = st.tokenizer.apply_chat_template(
-        messages, add_generation_prompt=True
-    )
     out_ids = []
     text_so_far = [""]
     t0 = [0.0]
@@ -171,7 +175,12 @@ def _generate(messages, stream_callback=None):
             if delta:
                 stream_callback(delta)
 
-    with st.lock:  # one TPU generation at a time
+    with st.lock:  # one TPU generation at a time; tokenize inside
+        # the lock so a concurrent model switch cannot pair the old
+        # tokenizer's ids with the newly loaded model
+        ids = st.tokenizer.apply_chat_template(
+            messages, add_generation_prompt=True
+        )
         start = time.perf_counter()
         out = st.generator.generate(
             ids,
@@ -222,18 +231,25 @@ class Handler(BaseHTTPRequestHandler):
         if not messages:
             raise ValueError("messages required")
         if payload.get("stream"):
-            # SSE: headers first, then one event per token delta
+            # SSE: headers first, then one event per token delta.
+            # After the headers are out a failure must be reported
+            # as an SSE event — a second HTTP response would be an
+            # invalid interleaved reply and hang the client reader.
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.send_header("Connection", "close")
             self.end_headers()
-            content, tok_s = _generate(
-                messages,
-                stream_callback=lambda d: self._sse_event(
-                    {"delta": d}
-                ),
-            )
+            try:
+                content, tok_s = _generate(
+                    messages,
+                    stream_callback=lambda d: self._sse_event(
+                        {"delta": d}
+                    ),
+                )
+            except Exception as e:
+                self._sse_event({"done": True, "error": str(e)})
+                return
             self._sse_event({
                 "done": True, "content": content,
                 "tokens_per_s": tok_s,
@@ -317,6 +333,11 @@ def main(argv=None) -> int:
 
         from vptq_tpu.parallel.sharding import make_mesh
 
+        if args.runtime_format == "codebook":
+            raise SystemExit(
+                "--tp requires a runtime format (int8/int4/bf16); "
+                "the codebook format does not run the shard_map path"
+            )
         mesh = make_mesh(
             data=1, model=args.tp,
             devices=np.asarray(jax.devices()[: args.tp]),
