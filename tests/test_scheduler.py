@@ -188,3 +188,42 @@ def test_prefill_bucket_overflow_does_not_corrupt_cache(tmp_path):
                       prompt_buckets=(16,))
     got = tight.generate(prompt, max_new_tokens=4)
     assert got == want, (got, want)
+
+
+def test_scheduler_fuzz_vs_generator(tmp_path):
+    """Randomized soak: arbitrary prompt lengths / budgets / eos
+    combinations through the scheduler must all reproduce the
+    single-sequence generator exactly (greedy)."""
+    rng = np.random.default_rng(123)
+    model = _model(tmp_path)
+    gen = Generator(model, max_seq=64, dtype=jnp.float32,
+                    prompt_buckets=(16,))
+    sched = Scheduler(model, max_batch=3, max_seq=64,
+                      dtype=jnp.float32, chunk=3, prompt_buckets=(16,))
+
+    cases = []
+    for _ in range(12):
+        plen = int(rng.integers(1, 40))
+        prompt = rng.integers(1, 255, size=plen).tolist()
+        budget = int(rng.integers(1, 12))
+        cases.append((prompt, budget))
+
+    singles = [
+        gen.generate(p, max_new_tokens=b) for p, b in cases
+    ]
+    # use each case's 2nd generated token as eos for a third of them
+    ids = []
+    for i, ((p, b), ref) in enumerate(zip(cases, singles)):
+        eos = ref[1] if (i % 3 == 0 and len(ref) > 1) else None
+        ids.append(
+            sched.submit(p, max_new_tokens=b, eos_token_id=eos)
+        )
+    results = sched.run()
+    for i, (rid, ref) in enumerate(zip(ids, singles)):
+        want = ref
+        if i % 3 == 0 and len(ref) > 1:
+            # eos truncation: everything up to and incl. the FIRST
+            # occurrence (which may precede index 1 if ref repeats)
+            eos = ref[1]
+            want = ref[: ref.index(eos) + 1]
+        assert results[rid] == want, (i, results[rid], want)

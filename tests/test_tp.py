@@ -252,6 +252,36 @@ class TestDeepseek:
         assert cos > 0.99, cos
         assert np.argmax(ref[0, -1]) == np.argmax(tp[0, -1])
 
+    def test_deepseek_tp_estimate_matches_actual(self, tmp_path):
+        """MLA latent layout + absorbed uk/uv + expert sharding:
+        the geometry-only estimate must still track the placed
+        bytes (kv_b counted as absorbed bf16)."""
+        import json
+
+        from tests.test_deepseek import DS_CFG, VQ
+        from vptq_tpu.config import QuantizationConfig
+        from vptq_tpu.utils import memory as hbm
+
+        cfg = tiny_model_config(**DS_CFG)
+        root = write_synthetic_checkpoint(
+            str(tmp_path / "ckpt"), cfg, vq_kwargs=VQ, seed=21
+        )
+        mesh = _mesh(2)
+        model_tp = load_model(
+            str(root), runtime_format="int8", mesh=mesh,
+            parallel="tp",
+        )
+        with open(root / "config.json") as f:
+            qd = json.load(f)["quantization_config"]
+        est = hbm.estimate_model_bytes(
+            model_tp.cfg, "int8",
+            QuantizationConfig.from_dict(qd), tp_shards=2,
+        )
+        actual = hbm.model_bytes(model_tp)
+        assert abs(actual - est["total"]) / actual < 0.05, (
+            actual, est,
+        )
+
     def test_loader_tp_deepseek(self, tmp_path):
         from tests.test_deepseek import DS_CFG, VQ
         from vptq_tpu.parallel.tp import tp_specs
