@@ -1,0 +1,70 @@
+"""Pipeline-style layer placement (parallel/pipeline.py) — the
+reference's accelerate device_map equivalent."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vptq_tpu.models.llama import forward, init_cache
+from vptq_tpu.models.loader import load_model
+from vptq_tpu.parallel.pipeline import PipelineRunner, pp_stage_of
+from vptq_tpu.utils.synth_checkpoint import (
+    tiny_model_config,
+    write_synthetic_checkpoint,
+)
+
+
+def test_stage_assignment_balanced():
+    # 10 layers over 4 stages: 3,3,2,2
+    stages = [pp_stage_of(i, 10, 4) for i in range(10)]
+    assert stages == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
+    assert [pp_stage_of(i, 8, 4) for i in range(8)] == [
+        0, 0, 1, 1, 2, 2, 3, 3,
+    ]
+
+
+def _roundtrip(tmp_path, fmt, **cfg_kw):
+    cfg = tiny_model_config(num_hidden_layers=4, **cfg_kw)
+    root = write_synthetic_checkpoint(
+        str(tmp_path / "ckpt"), cfg, seed=5
+    )
+    model = load_model(
+        str(root), dtype=jnp.float32, runtime_format=fmt
+    )
+    tokens = jnp.asarray([[1, 7, 42]], jnp.int32)
+
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    ref1, cache = forward(model, tokens, cache, dtype=jnp.float32)
+    nxt = jnp.argmax(ref1[:, -1:], axis=-1).astype(jnp.int32)
+    ref2, _ = forward(model, nxt, cache, dtype=jnp.float32)
+
+    devices = jax.devices()[:4]
+    pp = PipelineRunner(
+        model, devices, max_seq=16, dtype=jnp.float32
+    )
+    # weights really live on their stages
+    for s, stage in enumerate(pp.stages):
+        leaf = jax.tree.leaves(stage.blocks)[0]
+        assert list(leaf.devices())[0] == devices[s], s
+    got1 = pp.forward(tokens, fresh=True)
+    got2 = pp.forward(nxt)
+    # per-stage jits fuse differently than the single-jit forward —
+    # expect float-ulp-level differences only
+    np.testing.assert_allclose(
+        np.asarray(ref1), np.asarray(got1), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref2), np.asarray(got2), rtol=1e-3, atol=1e-5
+    )
+    assert np.argmax(np.asarray(ref2)[0, -1]) == np.argmax(
+        np.asarray(got2)[0, -1]
+    )
+
+
+def test_pp_matches_single_device_int8(tmp_path):
+    _roundtrip(tmp_path, "int8")
+
+
+def test_pp_matches_single_device_tied_embed(tmp_path):
+    _roundtrip(tmp_path, "bf16")  # tied embeddings (default config)

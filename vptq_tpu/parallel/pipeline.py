@@ -1,0 +1,210 @@
+"""Pipeline-style layer placement (reference parity).
+
+The reference's ONLY multi-device mechanism is accelerate's
+layer-wise ``device_map``: decoder blocks live on different GPUs and
+activations hop devices between layers (reference
+model_base.py:183-194 — placement, not pipelined execution). This is
+the TPU equivalent: each contiguous group of decoder blocks is one
+STAGE compiled for one device; activations move stage-to-stage with
+an async ``device_put`` (ICI), exactly one activations-sized
+transfer per boundary per step and no collectives at all.
+
+When to use which parallelism:
+
+- **TP (parallel/tp.py)** — the recommended scaling axis: every chip
+  works on every token, collectives are activation-sized psums. Use
+  for latency.
+- **PP (this module)** — memory capacity with MINIMAL communication,
+  at the cost of stage idling (no microbatch interleaving — for
+  batch-1 decode the bubble dominates, so this is a capacity/DCN
+  tool: the niche accelerate's device_map fills for the reference).
+
+Each device holds only its layers' weights and KV buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vptq_tpu.models.llama import (
+    KVCache,
+    MlaAttention,
+    Model,
+    _attention,
+    _mla_attention,
+    _mlp,
+    init_cache,
+    rms_norm,
+    rope_cos_sin,
+    rope_frequencies,
+)
+from vptq_tpu.models.llama import Block  # noqa: F401  (re-export)
+from flax import struct
+
+__all__ = ["PipelineRunner", "pp_stage_of"]
+
+
+def pp_stage_of(layer_idx: int, n_layers: int, n_stages: int) -> int:
+    """Contiguous block→stage assignment (balanced remainder-first)."""
+    base, rem = divmod(n_layers, n_stages)
+    boundary = rem * (base + 1)
+    if layer_idx < boundary:
+        return layer_idx // (base + 1)
+    return rem + (layer_idx - boundary) // base
+
+
+@struct.dataclass
+class _Stage:
+    """One pipeline stage's parameters (a Model slice)."""
+
+    blocks: Tuple
+    embed_tokens: jnp.ndarray = None  # first stage only
+    norm: jnp.ndarray = None  # last stage only
+    lm_head: object = None  # last stage only
+    cfg: object = struct.field(pytree_node=False, default=None)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("first", "last", "dtype", "fresh")
+)
+def _stage_step(
+    stage: _Stage,
+    x,  # (B, S) int32 tokens on stage 0, else (B, S, H) hidden
+    cache: KVCache,  # this stage's layers only
+    dtype=jnp.bfloat16,
+    first: bool = False,
+    last: bool = False,
+    fresh: bool = False,
+):
+    cfg = stage.cfg
+    if first:
+        x = stage.embed_tokens[x].astype(dtype)
+    batch, seq = x.shape[0], x.shape[1]
+    positions = (
+        cache.lengths[:, None]
+        + jnp.arange(seq)[None, :].astype(jnp.int32)
+    )
+    inv_freq, rope_scale = rope_frequencies(cfg)
+    cos, sin = rope_cos_sin(positions, inv_freq, rope_scale)
+
+    for j, block in enumerate(stage.blocks):
+        h = rms_norm(x, block.input_layernorm, cfg.rms_norm_eps)
+        if isinstance(block.attn, MlaAttention):
+            attn_out, cache = _mla_attention(
+                j, block.attn, h, cos, sin, cache, cfg
+            )
+        else:
+            attn_out, cache = _attention(
+                j, block.attn, h, cos, sin, cache, cfg,
+                fresh_prefill=fresh,
+            )
+        x = x + attn_out
+        h = rms_norm(
+            x, block.post_attention_layernorm, cfg.rms_norm_eps
+        )
+        x = x + _mlp(block.mlp, h)
+
+    cache = KVCache(
+        k=cache.k, v=cache.v, lengths=cache.lengths + seq
+    )
+    if not last:
+        return x, cache
+    x = rms_norm(x, stage.norm, cfg.rms_norm_eps)
+    if stage.lm_head is not None:
+        logits = stage.lm_head(x)
+    else:
+        logits = jnp.dot(
+            x,
+            stage.embed_tokens.T.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return logits.astype(jnp.float32), cache
+
+
+class PipelineRunner:
+    """Layer-wise pipeline over explicit devices.
+
+    ``forward(tokens)`` matches ``models.llama.forward`` numerically;
+    stage hops are async ``device_put`` on ICI.
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        devices: Sequence,
+        max_seq: int = 2048,
+        batch: int = 1,
+        dtype=jnp.bfloat16,
+    ):
+        L = len(model.blocks)
+        n = len(devices)
+        if n < 1 or L < n:
+            raise ValueError(
+                f"{L} layers cannot spread over {n} devices"
+            )
+        if model.lm_head is None and n > 1:
+            # tied embeddings are needed on both the first and last
+            # stage; keep a copy on the last one
+            tied_embed = jax.device_put(
+                model.embed_tokens, devices[-1]
+            )
+        else:
+            tied_embed = None
+        self.devices = list(devices)
+        self.dtype = dtype
+        self.cfg = model.cfg
+        self.stages: List[_Stage] = []
+        self.caches: List[KVCache] = []
+        put = lambda tree, d: jax.tree.map(  # noqa: E731
+            lambda a: jax.device_put(a, d), tree
+        )
+        for s in range(n):
+            blocks = tuple(
+                model.blocks[i]
+                for i in range(L)
+                if pp_stage_of(i, L, n) == s
+            )
+            stage = _Stage(
+                blocks=blocks,
+                embed_tokens=(
+                    model.embed_tokens
+                    if s == 0
+                    else (tied_embed if s == n - 1 else None)
+                ),
+                norm=model.norm if s == n - 1 else None,
+                lm_head=model.lm_head if s == n - 1 else None,
+                cfg=model.cfg,
+            )
+            self.stages.append(put(stage, devices[s]))
+            cache_cfg_layers = len(blocks)
+            full = init_cache(model.cfg, batch, max_seq, dtype)
+            self.caches.append(
+                put(
+                    KVCache(
+                        k=full.k[:cache_cfg_layers],
+                        v=full.v[:cache_cfg_layers],
+                        lengths=full.lengths,
+                    ),
+                    devices[s],
+                )
+            )
+
+    def forward(self, tokens: jnp.ndarray, fresh: bool = False):
+        """One decode/prefill step across all stages; returns logits
+        (the per-stage KV caches advance in place)."""
+        n = len(self.stages)
+        x = jax.device_put(tokens, self.devices[0])
+        for s in range(n):
+            out, self.caches[s] = _stage_step(
+                self.stages[s], x, self.caches[s],
+                dtype=self.dtype,
+                first=(s == 0), last=(s == n - 1), fresh=fresh,
+            )
+            if s < n - 1:
+                x = jax.device_put(out, self.devices[s + 1])
+            else:
+                return out
