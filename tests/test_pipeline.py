@@ -68,3 +68,40 @@ def test_pp_matches_single_device_int8(tmp_path):
 
 def test_pp_matches_single_device_tied_embed(tmp_path):
     _roundtrip(tmp_path, "bf16")  # tied embeddings (default config)
+
+
+def test_pp_pipelined_microbatches(tmp_path):
+    """1F microbatch schedule: two 1-row microbatches through 4
+    stages equal the plain batched forward, and decode continues
+    per-microbatch."""
+    cfg = tiny_model_config(num_hidden_layers=4)
+    root = write_synthetic_checkpoint(
+        str(tmp_path / "ckpt"), cfg, seed=5
+    )
+    model = load_model(
+        str(root), dtype=jnp.float32, runtime_format="int8"
+    )
+    tokens = jnp.asarray([[1, 7, 42], [9, 3, 5]], jnp.int32)
+    cache = init_cache(cfg, 2, 16, jnp.float32)
+    ref, cache = forward(model, tokens, cache, dtype=jnp.float32)
+
+    pp = PipelineRunner(
+        model, jax.devices()[:4], max_seq=16, batch=2,
+        dtype=jnp.float32,
+    )
+    outs = pp.forward_pipelined(
+        [tokens[0:1], tokens[1:2]], fresh=True
+    )
+    got = np.concatenate([np.asarray(o) for o in outs], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(ref), got, rtol=1e-3, atol=1e-5
+    )
+
+    # one decode step per microbatch
+    nxt = jnp.argmax(ref[:, -1:], axis=-1).astype(jnp.int32)
+    ref2, _ = forward(model, nxt, cache, dtype=jnp.float32)
+    outs2 = pp.forward_pipelined([nxt[0:1], nxt[1:2]])
+    got2 = np.concatenate([np.asarray(o) for o in outs2], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(ref2), got2, rtol=1e-3, atol=1e-5
+    )

@@ -208,3 +208,71 @@ class PipelineRunner:
                 x = jax.device_put(out, self.devices[s + 1])
             else:
                 return out
+
+    def forward_pipelined(
+        self,
+        token_chunks: Sequence[jnp.ndarray],
+        fresh: bool = False,
+    ):
+        """Microbatch-pipelined step: the classic 1F schedule.
+
+        ``token_chunks`` are independent batch microbatches (each
+        (B_i, S)); at tick t stage s works on microbatch t-s, so all
+        stages are busy once the pipe fills. JAX's async dispatch
+        provides the overlap — every _stage_step call enqueues on its
+        own device and only the final logits synchronize. Bubble
+        fraction = (n_stages-1)/(n_stages+n_micro-1).
+
+        Each microbatch keeps its OWN per-stage KV cache
+        (self.mb_caches[stage][i], lazily split off the stage cache
+        batch rows on first use) — no cross-microbatch copies.
+        Returns the per-microbatch logits list.
+        """
+        n = len(self.stages)
+        m = len(token_chunks)
+        if not hasattr(self, "mb_caches") or len(
+            self.mb_caches[0]
+        ) != m:
+            # split each stage cache into per-microbatch row groups
+            offs = [0]
+            for t in token_chunks:
+                offs.append(offs[-1] + int(t.shape[0]))
+            if offs[-1] > int(self.caches[0].lengths.shape[0]):
+                raise ValueError(
+                    f"microbatch rows {offs[-1]} exceed cache batch "
+                    f"{int(self.caches[0].lengths.shape[0])}"
+                )
+            self.mb_caches = [
+                [
+                    jax.tree.map(
+                        lambda a, b0=offs[i], b1=offs[i + 1]: a[b0:b1],
+                        self.caches[s],
+                    )
+                    for i in range(m)
+                ]
+                for s in range(n)
+            ]
+        acts = [None] * m
+        outs = [None] * m
+        for tick in range(n + m - 1):
+            for s in range(min(tick + 1, n)):
+                i = tick - s  # microbatch index at stage s
+                if not (0 <= i < m):
+                    continue
+                if s == 0:
+                    x = jax.device_put(
+                        token_chunks[i], self.devices[0]
+                    )
+                else:
+                    x = jax.device_put(acts[i], self.devices[s])
+                out, self.mb_caches[s][i] = _stage_step(
+                    self.stages[s], x, self.mb_caches[s][i],
+                    dtype=self.dtype,
+                    first=(s == 0), last=(s == n - 1),
+                    fresh=fresh,
+                )
+                if s == n - 1:
+                    outs[i] = out
+                else:
+                    acts[i] = out
+        return outs
