@@ -7,7 +7,10 @@ model_base.py:183-194 — placement, not pipelined execution). This is
 the TPU equivalent: each contiguous group of decoder blocks is one
 STAGE compiled for one device; activations move stage-to-stage with
 an async ``device_put`` (ICI), exactly one activations-sized
-transfer per boundary per step and no collectives at all.
+transfer per boundary per step and no collectives at all. (Stages
+are single devices; combine with TP by using the shard_map path
+instead when latency matters — PP's niche is capacity over slow
+links.)
 
 When to use which parallelism:
 
