@@ -148,3 +148,32 @@ def test_generator_cp_matches_tp(tmp_path):
     g2 = Generator(m2, max_seq=64, prompt_buckets=(16,), mesh=mesh_cp)
     got = g2.generate(prompt, max_new_tokens=10)
     assert got == want, (got, want)
+
+
+def test_scheduler_cp_admission(tmp_path):
+    """Scheduler on a 2x2 mesh: fresh admission prefills run
+    context-parallel and outputs still match the TP generator."""
+    from vptq_tpu.serving import Generator
+    from vptq_tpu.serving.scheduler import Scheduler
+
+    cfg = tiny_model_config(tie_word_embeddings=False)
+    root = write_synthetic_checkpoint(
+        str(tmp_path / "ckpt"), cfg, seed=5
+    )
+    mesh = make_mesh(
+        data=2, model=2, devices=np.asarray(jax.devices()[:4])
+    )
+    model = load_model(
+        str(root), runtime_format="int8", mesh=mesh, parallel="tp"
+    )
+    gen = Generator(model, max_seq=64, prompt_buckets=(16,),
+                    mesh=mesh)
+    prompts = [[1, 2, 3, 4], [9, 8, 7, 6, 5, 4, 3]]
+    singles = [gen.generate(p, max_new_tokens=6) for p in prompts]
+
+    sched = Scheduler(model, max_batch=2, max_seq=64, chunk=4,
+                      prompt_buckets=(16,), mesh=mesh)
+    ids = [sched.submit(p, max_new_tokens=6) for p in prompts]
+    out = sched.run()
+    for rid, want in zip(ids, singles):
+        assert out[rid] == want, (out[rid], want)

@@ -430,3 +430,39 @@ class TestValidation:
         np.testing.assert_allclose(
             np.asarray(logits_ref), np.asarray(logits_tp), atol=0.03
         )
+
+
+def test_tp_sampling_deterministic_and_matches_plain(tmp_path):
+    """Temperature sampling under TP (data=1): same key, same
+    replicated logits — tokens must match the single-device path
+    exactly and be reproducible."""
+    from vptq_tpu.serving import Generator
+
+    cfg = tiny_model_config(tie_word_embeddings=False)
+    root = write_synthetic_checkpoint(
+        str(tmp_path / "ckpt"), cfg, seed=5
+    )
+    mesh = _mesh(2)
+    model_tp = load_model(
+        str(root), runtime_format="bf16", mesh=mesh, parallel="tp"
+    )
+    gen_tp = Generator(
+        model_tp, max_seq=64, prompt_buckets=(16,), mesh=mesh
+    )
+    a = gen_tp.generate(
+        [1, 2, 3], max_new_tokens=8, temperature=0.9, seed=7
+    )
+    b = gen_tp.generate(
+        [1, 2, 3], max_new_tokens=8, temperature=0.9, seed=7
+    )
+    assert a == b
+    # bf16 TP weights are exact slices; the sampling stream (shared
+    # replicated key at data=1) matches single-device unless a
+    # near-tie flips under psum rounding — require equality, which
+    # holds for this seed
+    plain = load_model(str(root), runtime_format="bf16")
+    gen = Generator(plain, max_seq=64, prompt_buckets=(16,))
+    c = gen.generate(
+        [1, 2, 3], max_new_tokens=8, temperature=0.9, seed=7
+    )
+    assert a == c, (a, c)

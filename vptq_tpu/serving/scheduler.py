@@ -226,8 +226,11 @@ class Scheduler:
         if mesh is not None:
             from vptq_tpu.parallel.tp import (
                 forward_tp,
+                prefill_cp,
                 shard_cache_tp as _sct,
             )
+
+            cp_size = int(mesh.shape.get("data", 1))
 
             def _prefill_one(
                 model, tokens, cache1, start, dtype=self.dtype,
@@ -242,6 +245,18 @@ class Scheduler:
                     lengths=jnp.full((1,), start, jnp.int32)
                 )
                 with mesh:
+                    if (
+                        fresh
+                        and cp_size > 1
+                        and tokens.shape[1] % cp_size == 0
+                    ):
+                        # context-parallel admission prefill (ring
+                        # attention over the data axis — same rule
+                        # as Generator._prefill)
+                        return prefill_cp(
+                            model, tokens, cache1, self._specs,
+                            mesh, dtype=dtype,
+                        )
                     return forward_tp(
                         model, tokens, cache1, self._specs, mesh,
                         dtype=dtype, fresh_prefill=fresh,
