@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 
@@ -138,5 +139,87 @@ def test_webapp_model_switch():
             raise AssertionError("expected 500")
         except urllib.error.HTTPError as e:
             assert e.code == 500
+    finally:
+        httpd.shutdown()
+
+
+def test_webapp_switch_failure_keeps_old_model():
+    """A failing model switch must restore the previous generator
+    (review finding: the server was bricked otherwise)."""
+    from vptq_tpu.serving.webapp import _State, serve
+
+    def bad_load(path):
+        raise RuntimeError("download failed")
+
+    gen = _FakeGenerator()
+    httpd = serve(
+        gen, _FakeTokenizer(), port=0,
+        models={"good": "good", "bad": "bad"},
+        current="good", load_fn=bad_load,
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        req = urllib.request.Request(
+            base + "/api/model",
+            data=json.dumps({"name": "bad"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+        assert _State.generator is gen
+        assert _State.current == "good"
+        # chat still works on the restored model
+        req = urllib.request.Request(
+            base + "/api/chat",
+            data=json.dumps(
+                {"messages": [{"role": "user", "content": "hi"}]}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        resp = json.loads(urllib.request.urlopen(req).read())
+        assert resp["content"] == "7 8 9"
+    finally:
+        httpd.shutdown()
+
+
+def test_webapp_stream_error_is_sse_event():
+    """A generation failure after SSE headers must arrive as a
+    done+error event, not an interleaved second HTTP response."""
+    from vptq_tpu.serving.webapp import serve
+
+    class _Boom(_FakeGenerator):
+        def generate(self, *a, **kw):
+            raise RuntimeError("device fell over")
+
+    httpd = serve(_Boom(), _FakeTokenizer(), port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        req = urllib.request.Request(
+            base + "/api/chat",
+            data=json.dumps({
+                "messages": [{"role": "user", "content": "hi"}],
+                "stream": True,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            body = r.read().decode()
+        events = [
+            json.loads(line[6:])
+            for line in body.split("\n\n")
+            if line.startswith("data: ")
+        ]
+        assert events and events[-1]["done"]
+        assert "device fell over" in events[-1]["error"]
     finally:
         httpd.shutdown()
