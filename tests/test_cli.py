@@ -91,3 +91,33 @@ def test_cli_rejects_unknown_runtime_format(ckpt_dir):
         cli.build_parser().parse_args(
             ["--model", ckpt_dir, "--runtime-format", "fp8"]
         )
+
+
+def test_cli_tp_one_shot(ckpt_dir, capsys):
+    """--tp 2: load sharded (shard_map placement) and serve through
+    the TP generator on the virtual CPU mesh."""
+    rc = cli.main(
+        [
+            "--model", ckpt_dir,
+            "--prompt", "hi",
+            "--max-new-tokens", "4",
+            "--max-seq", "64",
+            "--temperature", "0",
+            "--tp", "2",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("hi")
+
+
+def test_cli_tp_rejects_codebook(ckpt_dir):
+    with pytest.raises(SystemExit):
+        cli.main(
+            [
+                "--model", ckpt_dir,
+                "--prompt", "hi",
+                "--runtime-format", "codebook",
+                "--tp", "2",
+            ]
+        )
