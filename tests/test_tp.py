@@ -142,9 +142,10 @@ class TestQuantized:
 
 
 class TestMoE:
-    def test_mixtral_style_matches_single_device(self, tmp_path):
+    @pytest.mark.parametrize("fmt", ["int8", "int4"])
+    def test_mixtral_style_matches_single_device(self, tmp_path, fmt):
         model = _load(
-            tmp_path, "int8",
+            tmp_path, fmt,
             model_type="mixtral", num_local_experts=4,
             num_experts_per_tok=2,
         )
