@@ -24,3 +24,20 @@ def test_quickstart_runs():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "generated:" in proc.stdout
+
+
+def test_multichip_demo_runs():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "multichip_demo.py"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "demo OK" in proc.stdout
