@@ -156,8 +156,9 @@ class Int4Linear:
             # in_tile: largest tile dividing in_padded (scales are
             # pre-blocked per step, so any multiple of 256 works —
             # shard_map TP shards pad to 512, single-device to 2048).
-            # out_tile from the v5e sweep (examples/autotune_w4.py):
-            # 2048 for wide outputs at decode token counts; 1024 at
+            # out_tile from the v5e sweep (examples/autotune_w4.py,
+            # re-run after the shift28 unpack): 2048 wins at decode
+            # token counts on EVERY 7B shape (535-617 GB/s); 1024 at
             # prefill (the f32 accumulator + out double-buffer of a
             # (512-token, 2048-out) tile would overflow VMEM)
             tokens = 1
@@ -165,7 +166,7 @@ class Int4Linear:
                 tokens *= d
             out_f = self.wq.shape[0]
             ot = (
-                2048 if (out_f >= 8192 and tokens <= 64)
+                2048 if (out_f >= 2048 and tokens <= 64)
                 else (1024 if out_f >= 1024
                       else (512 if out_f >= 512 else 256))
             )

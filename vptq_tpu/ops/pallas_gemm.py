@@ -464,13 +464,18 @@ def _w4_kernel(
     j = pl.program_id(2)
 
     # nibble extraction in i32 — Mosaic legalizes vector shifts only
-    # at i32 (i8/i16 shifts fail to lower). ~3 VPU ops/nibble is the
-    # floor with legal ops; the kernel runs within ~25% of it.
+    # at i32 (i8/i16 shifts fail to lower). The low nibble needs ONE
+    # shift, not two: (w << 28) is exactly lo * 2^28 (zero bits below
+    # the nibble), its bf16 conversion is exact, and the 2^-28 folds
+    # into the low-half scale rows for free (examples/w4_unpack_ablation.py:
+    # +2-6% over the two-shift form; measured VPU-bound ceiling of any
+    # unpack+scale structure is ~600-620 GB/s vs ~700 for a
+    # convert-only stream — see ARCHITECTURE.md).
     w = w_ref[:].astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(w, 28), 28)  # sign-ext low
+    lo = jnp.left_shift(w, 28)  # lo * 2^28, sign carried by the shift
     hi = jnp.right_shift(w, 4)  # arithmetic: sign-extended high
 
-    sl = sl_ref[:]  # (s_half, O_T)
+    sl = sl_ref[:].astype(jnp.float32) * jnp.float32(2.0 ** -28)
     sh = sh_ref[:]
 
     dims = (((1,), (1,)), ((), ()))
@@ -487,7 +492,7 @@ def _w4_kernel(
             dimension_numbers=dims,
             preferred_element_type=jnp.float32,
         )
-        part = part + pl_ * sl[sub, :].astype(jnp.float32)[None, :]
+        part = part + pl_ * sl[sub, :][None, :]
         part = part + ph_ * sh[sub, :].astype(jnp.float32)[None, :]
 
     @pl.when(j == 0)
@@ -625,11 +630,13 @@ def _w4e_kernel(
     j = pl.program_id(1)
 
     w = w_ref[0].astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(w, 28), 28)
+    lo = jnp.left_shift(w, 28)  # lo * 2^28 (see _w4_kernel)
     hi = jnp.right_shift(w, 4)
 
     n_scale_rows = s_ref.shape[1]
-    sl = s_ref[0, pl.ds(j * s_half, s_half), :]  # (s_half, O_T)
+    sl = s_ref[0, pl.ds(j * s_half, s_half), :].astype(
+        jnp.float32
+    ) * jnp.float32(2.0 ** -28)  # (s_half, O_T)
     sh = s_ref[0, pl.ds(n_scale_rows // 2 + j * s_half, s_half), :]
 
     dims = (((1,), (1,)), ((), ()))
@@ -646,7 +653,7 @@ def _w4e_kernel(
             dimension_numbers=dims,
             preferred_element_type=jnp.float32,
         )
-        part = part + pl_ * sl[sub, :].astype(jnp.float32)[None, :]
+        part = part + pl_ * sl[sub, :][None, :]
         part = part + ph_ * sh[sub, :].astype(jnp.float32)[None, :]
 
     @pl.when(j == 0)
@@ -763,11 +770,13 @@ def _w4p_kernel(
     j = pl.program_id(2)
 
     w = w_ref[0].astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(w, 28), 28)
+    lo = jnp.left_shift(w, 28)  # lo * 2^28 (see _w4_kernel)
     hi = jnp.right_shift(w, 4)
 
     n_scale_rows = s_ref.shape[1]
-    sl = s_ref[0, pl.ds(j * s_half, s_half), :]
+    sl = s_ref[0, pl.ds(j * s_half, s_half), :].astype(
+        jnp.float32
+    ) * jnp.float32(2.0 ** -28)
     sh = s_ref[0, pl.ds(n_scale_rows // 2 + j * s_half, s_half), :]
 
     dims = (((1,), (1,)), ((), ()))
@@ -784,7 +793,7 @@ def _w4p_kernel(
             dimension_numbers=dims,
             preferred_element_type=jnp.float32,
         )
-        part = part + pl_ * sl[sub, :].astype(jnp.float32)[None, :]
+        part = part + pl_ * sl[sub, :][None, :]
         part = part + ph_ * sh[sub, :].astype(jnp.float32)[None, :]
 
     @pl.when(j == 0)
