@@ -227,3 +227,60 @@ def test_scheduler_fuzz_vs_generator(tmp_path):
             eos = ref[1]
             want = ref[: ref.index(eos) + 1]
         assert results[rid] == want, (i, results[rid], want)
+
+
+def test_pipelined_dispatch_before_consume(tmp_path):
+    """VERDICT r2 item 3: with depth>=2 the scheduler must dispatch
+    decode chunk N+1 on device BEFORE the host consumes chunk N's
+    tokens (the np.asarray sync), so the device never idles on the
+    host round trip."""
+    model = _model(tmp_path)
+    sched = Scheduler(
+        model, max_batch=2, max_seq=64, dtype=jnp.float32, chunk=4,
+        prompt_buckets=(16,), depth=2,
+    )
+
+    events = []
+    dispatch, process = sched._dispatch_chunk, sched._process_oldest
+
+    def spy_dispatch():
+        dispatch()
+        events.append(("d", sched._chunk_idx - 1))
+
+    def spy_process():
+        # record which chunk is about to be consumed: chunks are
+        # processed strictly in dispatch order
+        done = sum(1 for e in events if e[0] == "p")
+        process()
+        events.append(("p", done))
+
+    sched._dispatch_chunk = spy_dispatch
+    sched._process_oldest = spy_process
+
+    sched.submit([1, 2, 3], max_new_tokens=20)
+    sched.run()
+
+    processed = [e for e in events if e[0] == "p"]
+    assert len(processed) >= 3
+    for _, j in processed[:-1]:  # tail drain is allowed to be sync
+        di = events.index(("d", j + 1))
+        pi = events.index(("p", j))
+        assert di < pi, (j, events)
+
+
+def test_pipeline_depths_identical(tmp_path):
+    """Token streams are bit-identical across pipeline depths (the
+    device op chain does not depend on host consumption lag)."""
+    model = _model(tmp_path)
+    prompts = [[1, 2, 3], [9, 8, 7, 6, 5], [42], [13, 14]]
+
+    outs = []
+    for depth in (1, 2, 3):
+        sched = Scheduler(
+            model, max_batch=2, max_seq=64, dtype=jnp.float32,
+            chunk=4, prompt_buckets=(16,), depth=depth,
+        )
+        ids = [sched.submit(p, max_new_tokens=9) for p in prompts]
+        res = sched.run()
+        outs.append([res[i] for i in ids])
+    assert outs[0] == outs[1] == outs[2]

@@ -20,7 +20,18 @@ Design:
     advances an in-flight admission by at most one prefill bucket,
     then decodes the active slots — a long prompt being admitted never
     stalls running requests for more than one bucket of prefill
-    (no head-of-line blocking).
+    (no head-of-line blocking);
+  * decode chunks are PIPELINED ``depth`` deep: chunk N+1 is
+    dispatched from device-carried state (the previous chunk's last
+    tokens and cache, both still futures) BEFORE the host consumes
+    chunk N's tokens, so the device never idles on the host↔device
+    round trip (JAX async dispatch; the host processes results one
+    chunk behind, against a slot snapshot taken at dispatch). The
+    token stream is bit-identical to depth=1 — the device-side op
+    chain is unchanged; only host consumption lags. The cost is up to
+    ``(depth-1)·chunk`` speculative tokens decoded after a request's
+    EOS (discarded at processing; cache growth is clamped at max_seq
+    device-side, and a retired slot's rows are reset on reuse).
 """
 
 from __future__ import annotations
@@ -60,6 +71,21 @@ class Request:
 
 
 @dataclasses.dataclass
+class _InflightChunk:
+    """A dispatched-but-unconsumed decode chunk.
+
+    ``toks`` is a device array (likely still being computed when this
+    is created); ``slots`` snapshots the Request occupying each slot
+    at dispatch time, so host processing attributes each column to the
+    request that actually generated it even if the slot was since
+    retired and re-assigned.
+    """
+
+    toks: jnp.ndarray  # (chunk, B) device
+    slots: List[Optional[Request]]
+
+
+@dataclasses.dataclass
 class _Admission:
     """An in-flight chunked prefill for one pending request.
 
@@ -91,15 +117,23 @@ def _batched_decode(
 ):
     """Advance all slots ``steps`` tokens; inactive slots do not grow."""
 
+    max_seq = cache.k[0].shape[1]
+
     def step(carry, _):
         tok, cache, key = carry
         logits, new_cache = forward(
             model, tok[:, None], cache, dtype=dtype
         )
-        # only active slots advance their cache length
+        # only active slots advance their cache length; clamp at
+        # max_seq — with pipelined dispatch a slot the host is about
+        # to retire may run (depth-1) speculative chunks past its
+        # budget, and its length must not index out of the cache
         new_cache = new_cache.replace(
-            lengths=jnp.where(
-                active, new_cache.lengths, cache.lengths
+            lengths=jnp.minimum(
+                jnp.where(
+                    active, new_cache.lengths, cache.lengths
+                ),
+                max_seq,
             )
         )
         nxt, key = sample_next(logits[:, 0], key, temps)
@@ -143,6 +177,7 @@ def _batched_decode_tp(
     cache_specs = cache_tp_specs(cache, axis, b_ax)
 
     def local(model, tokens, cache, key, temps, active):
+        max_seq = cache.k[0].shape[1]
         if b_ax is not None:
             # per-data-shard sampling noise (see decode_loop_tp)
             key = jax.random.fold_in(
@@ -155,9 +190,13 @@ def _batched_decode_tp(
                 model, tok[:, None], cache, dtype=dtype,
                 tp=(axis, size),
             )
+            # clamp at max_seq (see _batched_decode)
             new_cache = new_cache.replace(
-                lengths=jnp.where(
-                    active, new_cache.lengths, cache.lengths
+                lengths=jnp.minimum(
+                    jnp.where(
+                        active, new_cache.lengths, cache.lengths
+                    ),
+                    max_seq,
                 )
             )
             nxt, key = sample_next(logits[:, 0], key, temps)
@@ -191,6 +230,7 @@ class Scheduler:
         prompt_buckets: Sequence[int] = (64, 256, 1024),
         prefix_cache=None,  # serving.prefix_cache.PrefixCache
         mesh=None,  # shard_map TP: model from load_model(parallel="tp")
+        depth: int = 2,  # decode chunks in flight (1 = synchronous)
     ):
         self.model = model
         self.max_batch = max_batch
@@ -215,13 +255,17 @@ class Scheduler:
         else:
             self._specs = None
         self.slots: List[Optional[Request]] = [None] * max_batch
-        self.last_tokens = np.zeros(max_batch, dtype=np.int32)
         self.temps = np.zeros(max_batch, dtype=np.float32)
+        self.depth = max(1, int(depth))
         self.pending: deque[Request] = deque()
         self.finished: Dict[int, Request] = {}
         self._next_id = 0
         self._chunk_idx = 0
         self._admitting: Optional[_Admission] = None
+        # device-carried last token per slot: the decode chain's input
+        # stays on device across chunks (never synced for dispatch)
+        self._tok_dev = jnp.zeros((max_batch,), jnp.int32)
+        self._inflight: deque[_InflightChunk] = deque()
 
         if mesh is not None:
             from vptq_tpu.parallel.tp import (
@@ -446,7 +490,7 @@ class Scheduler:
         if req.stream_callback:
             req.stream_callback(req.req_id, first)
         self.slots[slot] = req
-        self.last_tokens[slot] = first
+        self._tok_dev = self._tok_dev.at[slot].set(first)
         self.temps[slot] = req.temperature
         self._admitting = None
         if (
@@ -461,16 +505,13 @@ class Scheduler:
         self.finished[req.req_id] = req
         self.slots[slot] = None
 
-    def step(self) -> None:
-        """Advance one prefill bucket (if admitting) + one decode chunk."""
-        self._start_admission()
-        self._advance_admission()
-        # an admission that just completed frees the machinery for the
-        # next pending request (its first bucket runs next step)
-        self._start_admission()
-        if self.num_active == 0:
-            return
+    def _dispatch_chunk(self) -> None:
+        """Enqueue one decode chunk on the device — NO host sync.
 
+        Inputs (last tokens, cache) are device arrays carried from the
+        previous chunk, possibly still being computed; JAX async
+        dispatch orders the work on device without blocking the host.
+        """
         active = np.array(
             [s is not None for s in self.slots], dtype=bool
         )
@@ -478,7 +519,7 @@ class Scheduler:
             with self.mesh:
                 toks, self.cache = _batched_decode_tp(
                     self.model,
-                    jnp.asarray(self.last_tokens),
+                    self._tok_dev,
                     self.cache,
                     jax.random.PRNGKey(self._chunk_idx),
                     jnp.asarray(self.temps),
@@ -491,7 +532,7 @@ class Scheduler:
         else:
             toks, self.cache = _batched_decode(
                 self.model,
-                jnp.asarray(self.last_tokens),
+                self._tok_dev,
                 self.cache,
                 jax.random.PRNGKey(self._chunk_idx),
                 jnp.asarray(self.temps),
@@ -500,11 +541,23 @@ class Scheduler:
                 dtype=self.dtype,
             )
         self._chunk_idx += 1
-        arr = np.asarray(toks)  # (chunk, B)
+        self._tok_dev = toks[-1]
+        self._inflight.append(
+            _InflightChunk(toks=toks, slots=list(self.slots))
+        )
+
+    def _process_oldest(self) -> None:
+        """Host-consume the oldest in-flight chunk: stream its tokens,
+        retire finished slots. Blocks until that chunk is ready (the
+        only host↔device sync in the decode path)."""
+        entry = self._inflight.popleft()
+        arr = np.asarray(entry.toks)  # (chunk, B)
 
         for slot in range(self.max_batch):
-            req = self.slots[slot]
-            if req is None:
+            req = entry.slots[slot]
+            if req is None or req.done:
+                # empty at dispatch, or retired by an earlier chunk —
+                # this column is speculative garbage
                 continue
             remaining = req.max_new_tokens - len(req.output)
             budget = min(
@@ -520,7 +573,6 @@ class Scheduler:
             if req.stream_callback:
                 for t in new:
                     req.stream_callback(req.req_id, t)
-            self.last_tokens[slot] = arr[-1, slot]
             hit_eos = (
                 req.eos_token_id is not None
                 and req.eos_token_id in new
@@ -532,8 +584,31 @@ class Scheduler:
             if hit_eos or out_of_budget or out_of_seq:
                 self._retire(slot)
 
+    def step(self) -> None:
+        """Advance one prefill bucket (if admitting), dispatch one
+        decode chunk, and consume token results ``depth-1`` chunks
+        behind the dispatch front."""
+        self._start_admission()
+        self._advance_admission()
+        # an admission that just completed frees the machinery for the
+        # next pending request (its first bucket runs next step)
+        self._start_admission()
+        if self.num_active:
+            self._dispatch_chunk()
+        elif self._inflight:
+            # nothing to dispatch: drain an outstanding chunk so
+            # retirements land and run() terminates
+            self._process_oldest()
+        while len(self._inflight) >= self.depth:
+            self._process_oldest()
+
     def run(self) -> Dict[int, List[int]]:
         """Drive until all submitted requests complete."""
-        while self.pending or self.num_active or self._admitting:
+        while (
+            self.pending
+            or self.num_active
+            or self._admitting
+            or self._inflight
+        ):
             self.step()
         return {rid: r.output for rid, r in self.finished.items()}
