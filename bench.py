@@ -9,7 +9,19 @@ Weights are synthetic (no network egress to fetch real community
 checkpoints) in the int8 runtime format — decode speed is independent
 of weight values.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+One-flag invocations for every headline number (each prints one line):
+
+    python bench.py              # int8 decode tok/s (default metric)
+    python bench.py --int4       # int4 decode tok/s
+    python bench.py --mixed      # int4-mixed (calibrated default) decode
+    python bench.py --int4 --batch=8   # batched decode throughput
+    python bench.py --serving    # continuous-batching scheduler tok/s
+    python bench.py --ttft       # 512-token prefill p50 latency
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus,
+for decode metrics, roofline context {"gbps", "sol_frac",
+"weight_bytes_per_tok"} (achieved weight-stream bandwidth and its
+fraction of the v5e 819 GB/s HBM speed-of-light).
 """
 
 import json
@@ -120,7 +132,19 @@ def build_7b_int8(rng, fmt="int8"):
 
     h, inter = cfg.hidden_size, cfg.intermediate_size
     blocks = []
-    for _ in range(cfg.num_hidden_layers):
+    for i in range(cfg.num_hidden_layers):
+        bf = None
+        if fmt == "int4mixed":
+            # byte-budget stand-in for the calibrated int4-mixed
+            # default (quant/calibrate.py MIXED_INT8_FRACTION=0.375):
+            # the ranking pass concentrates the int8 budget in the
+            # early blocks on measured models, so the first 3/8 of
+            # blocks carry the int8 bytes here
+            bf = (
+                "int8"
+                if i < (3 * cfg.num_hidden_layers) // 8
+                else "int4"
+            )
         blocks.append(
             Block(
                 input_layernorm=jnp.ones(h, jnp.float32),
@@ -128,15 +152,15 @@ def build_7b_int8(rng, fmt="int8"):
                     q_proj=None,
                     k_proj=None,
                     v_proj=None,
-                    o_proj=lin(h, h),
-                    qkv_proj=lin(h, 3 * h),
+                    o_proj=lin(h, h, f=bf),
+                    qkv_proj=lin(h, 3 * h, f=bf),
                 ),
                 post_attention_layernorm=jnp.ones(h, jnp.float32),
                 mlp=Mlp(
                     gate_proj=None,
                     up_proj=None,
-                    down_proj=lin(inter, h),
-                    gate_up_proj=lin(h, 2 * inter),
+                    down_proj=lin(inter, h, f=bf),
+                    gate_up_proj=lin(h, 2 * inter, f=bf),
                 ),
             )
         )
@@ -197,6 +221,8 @@ def main():
     fmt = "int8"
     if "--int4" in sys.argv:
         fmt = "int4"
+    elif "--mixed" in sys.argv:
+        fmt = "int4mixed"
     elif "--codebook" in sys.argv:
         fmt = "codebook"
     batch = 1
@@ -296,6 +322,19 @@ def main():
 
     best = min(times)
     tok_s = steps * batch / best
+
+    # roofline context (VERDICT r2 item 7): decode reads every weight
+    # byte once per step — achieved weight GB/s and fraction of the
+    # v5e HBM speed-of-light make sub-tok/s regressions driver-visible
+    import jax as _jax
+
+    from vptq_tpu.utils.profiling import V5E_HBM_GBPS
+
+    weight_bytes = sum(
+        x.nbytes
+        for x in _jax.tree.leaves((model.blocks, model.lm_head))
+    )
+    gbps = weight_bytes * (tok_s / batch) / 1e9
     print(
         json.dumps(
             {
@@ -305,6 +344,9 @@ def main():
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+                "gbps": round(gbps, 1),
+                "sol_frac": round(gbps / V5E_HBM_GBPS, 3),
+                "weight_bytes_per_tok": weight_bytes,
             }
         )
     )

@@ -113,3 +113,83 @@ def test_reconstruction_error_diagnostics():
     # perturbed original -> positive normalized error
     r2 = reconstruction_error(layer, w + 0.1)
     assert r2["norm_error"] > 0
+
+
+def test_load_model_hub_download_branch(tmp_path, monkeypatch):
+    """The hub path of load_model (loader.py): a non-existent local
+    path resolves through huggingface_hub.snapshot_download — mocked
+    here to a prepared local checkpoint (VERDICT r2 item 4)."""
+    import huggingface_hub
+
+    write_synthetic_checkpoint(
+        tmp_path,
+        tiny_model_config(),
+        vq_kwargs=dict(
+            vector_len=4, num_centroids=64, num_res_centroids=16,
+            enable_norm=True, is_indice_packed=True,
+        ),
+        seed=3,
+    )
+    calls = {}
+
+    def fake_snapshot_download(repo_id, ignore_patterns=None, token=None):
+        calls["repo_id"] = repo_id
+        calls["ignore_patterns"] = ignore_patterns
+        calls["token"] = token
+        return str(tmp_path)
+
+    monkeypatch.setattr(
+        huggingface_hub, "snapshot_download", fake_snapshot_download
+    )
+    monkeypatch.setenv("HF_TOKEN", "tok-123")
+    model = load_model(
+        "VPTQ-community/does-not-exist-locally",
+        runtime_format="int8",
+    )
+    assert calls["repo_id"] == "VPTQ-community/does-not-exist-locally"
+    assert calls["ignore_patterns"] == ["*.bin"]
+    assert calls["token"] == "tok-123"
+    assert len(model.blocks) == model.cfg.num_hidden_layers
+
+
+def test_dataset_loaders_protocol(monkeypatch):
+    """wikitext2/c4 loaders: document joining + tokenization protocol
+    (datasets package mocked — the bench env has no network)."""
+    import sys
+    import types
+
+    fake = types.ModuleType("datasets")
+
+    def fake_load_dataset(name, config, split, streaming=False,
+                          cache_dir=None):
+        if name == "wikitext":
+            assert (config, split) == ("wikitext-2-raw-v1", "test")
+            return {"text": ["doc one", "", "doc two"]}
+        assert (name, config, split) == (
+            "allenai/c4", "en", "validation"
+        )
+        assert streaming
+        return iter(
+            {"text": f"c4 doc {i}"} for i in range(10)
+        )
+
+    fake.load_dataset = fake_load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", fake)
+
+    class Tok:
+        def __call__(self, text, return_tensors=None):
+            return {"input_ids": [len(w) for w in text.split()]}
+
+    from vptq_tpu.eval.datasets import load_eval_tokens
+
+    ids = load_eval_tokens("wikitext2", Tok())
+    assert ids.dtype == np.int32
+    # "doc one\n\n\n\ndoc two" -> 4 whitespace-split words
+    assert len(ids) == 4
+
+    ids_c4 = load_eval_tokens("c4", Tok(), c4_docs=3)
+    # 3 docs x "c4 doc i" = 9 words
+    assert len(ids_c4) == 9
+
+    with pytest.raises(ValueError):
+        load_eval_tokens("ptb", Tok())

@@ -7,9 +7,16 @@ with non-overlapping (or strided) windows, fully jitted per window.
 Usage (library):
     ppl = perplexity(model, token_ids, seq_len=4096)
 
-CLI:
+CLI (local text or the reference's published datasets):
     python -m vptq_tpu.eval.ppl --model DIR --text FILE \
         [--tokenizer DIR] [--seq-len 4096] [--runtime-format int8]
+    python -m vptq_tpu.eval.ppl --model <hub-id-or-dir> \
+        --dataset wikitext2|c4
+
+The --dataset path reproduces the protocol behind BASELINE.md's rows
+end to end (hub checkpoint download -> dataset download -> tokenize ->
+ctx-4096 windows); expected numbers and citations in
+vptq_tpu/eval/datasets.py.
 """
 
 from __future__ import annotations
@@ -78,11 +85,18 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True)
     p.add_argument("--tokenizer", default="")
-    p.add_argument("--text", required=True,
-                   help="plain-text file to evaluate")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--text", help="plain-text file to evaluate")
+    src.add_argument(
+        "--dataset", choices=("wikitext2", "c4"),
+        help="reference eval corpus (needs `datasets` + network; "
+        "expected numbers in eval/datasets.py / BASELINE.md)",
+    )
     p.add_argument("--seq-len", type=int, default=4096)
-    p.add_argument("--runtime-format", default="int8",
-                   choices=("int8", "int4", "bf16", "codebook"))
+    p.add_argument(
+        "--runtime-format", default="int8",
+        choices=("int8", "int4", "int4-mixed", "bf16", "codebook"),
+    )
     args = p.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -90,9 +104,14 @@ def main(argv=None) -> int:
     from vptq_tpu.models import load_model
 
     tok = AutoTokenizer.from_pretrained(args.tokenizer or args.model)
-    with open(args.text) as f:
-        text = f.read()
-    ids = tok(text, return_tensors=None)["input_ids"]
+    if args.dataset:
+        from vptq_tpu.eval.datasets import load_eval_tokens
+
+        ids = load_eval_tokens(args.dataset, tok)
+    else:
+        with open(args.text) as f:
+            text = f.read()
+        ids = tok(text, return_tensors=None)["input_ids"]
 
     model = load_model(
         args.model, dtype=jnp.bfloat16,

@@ -451,6 +451,42 @@ def to_int4(layer: VQLinear) -> Int4Linear:
     return _encode_int4(_exact_weight(layer), layer.bias)
 
 
+def int4_from_q(q, scales, bias=None, pad_to: int = 2048) -> Int4Linear:
+    """Build an Int4Linear from precomputed (q, scales) — the entry
+    point for the calibrated/GPTQ encoder (quant/gptq.py), which picks
+    q itself instead of RTN. ``q``: (out, in) int8 in [-7, 7] with
+    ``in % 128 == 0``; ``scales``: (out, in // 128) f32 (already
+    bf16-representable — the encoder rounds them)."""
+    import numpy as np
+
+    from vptq_tpu.ops.packing import pack_int4
+
+    pad = (-q.shape[1]) % pad_to
+    if pad:
+        q = np.pad(q, ((0, 0), (0, pad)))
+        scales = np.pad(
+            scales, ((0, 0), (0, pad // 128)), constant_values=1.0
+        )
+    return Int4Linear(
+        wq=pack_int4(np.ascontiguousarray(q)),
+        scales=np.ascontiguousarray(scales.T).astype(jnp.bfloat16),
+        bias=bias,
+    )
+
+
+def int8_from_q(q, scales, bias=None) -> Int8Linear:
+    """Build an Int8Linear from precomputed (q, scales).
+    ``q``: (out, in) int8, ``in`` a multiple of the scale group;
+    ``scales``: (out, in // group) f32."""
+    import numpy as np
+
+    return Int8Linear(
+        wq=np.ascontiguousarray(q),
+        scales=np.ascontiguousarray(scales.T.astype(np.float32)),
+        bias=bias,
+    )
+
+
 def dense_to_int4(layer: DenseLinear) -> Int4Linear:
     import jax
     import numpy as np

@@ -287,6 +287,8 @@ def load_model(
     parallel: str = "auto",
     hbm_gb: Optional[float] = None,
     hbm_utilization: float = 0.9,
+    calibration=None,
+    int8_fraction: Optional[float] = None,
 ) -> Model:
     """Load a VPTQ HF checkpoint directory into a :class:`Model`.
 
@@ -325,7 +327,69 @@ def load_model(
     reference's ``gpu_utilization`` cap, model_base.py:165-181).
     ``hbm_gb=None`` auto-detects from PJRT ``memory_stats`` and skips
     the check when the backend exposes none (CPU meshes).
+
+    ``runtime_format="int4-mixed"`` / ``calibration``: calibrated
+    re-encode (vptq_tpu.quant) — the model is first loaded exact
+    (codebook), then GPTQ error-feedback quantized against
+    calibration activations; "int4-mixed" additionally keeps the
+    measured-most-sensitive ``int8_fraction`` of sites in int8.
+    ``calibration`` is a (B, S) int32 token array, an int (number of
+    synthetic calibration tokens), or None (default 4096 synthetic
+    tokens for the calibrated formats). Single-chip only for now
+    (``mesh`` must be None on the calibrated path).
     """
+    calibrated = runtime_format == "int4-mixed" or (
+        calibration is not None
+        and runtime_format in ("int4", "int8")
+    )
+    if calibrated:
+        if mesh is not None:
+            raise NotImplementedError(
+                "calibrated formats with a mesh: calibrate on one "
+                "host first (mesh=None), then place with "
+                "parallel.tp.tp_place_model / sharding.shard_block"
+            )
+        from vptq_tpu.quant.calibrate import (
+            quantize_model_calibrated,
+            synthetic_calibration_tokens,
+        )
+
+        exact = load_model(
+            checkpoint_dir,
+            dtype=dtype,
+            runtime_format="codebook",
+            fuse=False,
+            hbm_gb=hbm_gb,
+            hbm_utilization=hbm_utilization,
+        )
+        tokens = calibration
+        if isinstance(tokens, (int, np.integer)):
+            tokens = synthetic_calibration_tokens(
+                exact.cfg.vocab_size, n_tokens=int(tokens)
+            )
+        model, _report = quantize_model_calibrated(
+            exact,
+            tokens,
+            fmt=runtime_format,
+            int8_fraction=int8_fraction,
+            fuse=fuse,
+        )
+        if quantize_lm_head and isinstance(model.lm_head, DenseLinear):
+            from vptq_tpu.layers.runtime import dense_to_int8
+
+            import jax
+
+            model = Model(
+                embed_tokens=model.embed_tokens,
+                blocks=model.blocks,
+                norm=model.norm,
+                lm_head=jax.tree.map(
+                    jnp.asarray, dense_to_int8(model.lm_head)
+                ),
+                cfg=model.cfg,
+            )
+        return model
+
     root = Path(checkpoint_dir)
     if not root.exists():
         # Hub reference (reference model_base.py:139-163): download the

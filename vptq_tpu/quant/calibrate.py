@@ -1,0 +1,537 @@
+"""Calibration-driven model re-encode: GPTQ + mixed precision.
+
+Walks the decoder block by block (the GPTQ protocol):
+
+  1. run the block's forward EAGERLY on calibration activations with
+     per-linear input recorders (``H += x^T x`` per quantization site),
+  2. quantize the block's linears with error feedback against H
+     (:func:`vptq_tpu.quant.gptq.gptq_quantize`),
+  3. if a site's measured relative output error
+     (:func:`~vptq_tpu.quant.gptq.output_error_ratio`) exceeds
+     ``int8_threshold``, re-encode that site as int8 instead
+     (sensitivity-driven mixed precision — the decision is a per-layer
+     measurement, not a name-based table),
+  4. re-run the block with the QUANTIZED weights so downstream blocks
+     calibrate against the activations they will actually see.
+
+Everything runs once on the host at ingestion; the output model uses
+the standard Int4Linear/Int8Linear runtime layouts and kernels.
+
+The capture step replaces each compressed linear with an exact f32
+dense mirror and wraps one member of each shared-input site with a
+recorder — all model forwards go through the existing
+``models.llama`` code paths, so every architecture the loader supports
+(GQA, MLA, MoE) calibrates without model-specific capture code.
+
+MoE caveat: the dense all-experts calibration path feeds every token
+to every expert, so expert Hessians are unweighted by routing
+probability — an acceptable approximation (mis-weighting only
+second-moment importance, not values).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vptq_tpu.layers.dense import DenseLinear
+from vptq_tpu.layers.vqlinear import VQLinear
+from vptq_tpu.quant.gptq import (
+    dequant_groups,
+    gptq_quantize,
+    group_spans,
+    output_error_ratio,
+)
+
+logger = logging.getLogger("vptq_tpu")
+
+__all__ = [
+    "synthetic_calibration_tokens",
+    "quantize_model_calibrated",
+]
+
+# default measured-sensitivity threshold for "int4-mixed" when the
+# caller opts into threshold mode: a site whose calibrated int4
+# re-encode moves more than this fraction of output energy
+# (tr(dW H dW^T)/tr(W H W^T)) is kept int8.
+MIXED_INT8_THRESHOLD = 0.01
+
+# default int8 site budget for "int4-mixed" (ranking-pass mode): the
+# top-sensitivity 3/8 of the sites goes int8 (~5.5 bits/weight
+# average). Measured on the mid-size synthetic model
+# (tests/test_calibrate.py, CPU f32): logit KL 0.0676 (pure int4 RTN)
+# -> 0.0145 — within 2.9x of all-int8's — while keeping most of int4's
+# decode-bandwidth win. Error concentrates in a few sites (typically
+# early-block attention/down projections), which is why a modest
+# measured budget buys most of the fidelity: the first 4 sites alone
+# take KL to 0.0152; the next 2 to 0.0145.
+MIXED_INT8_FRACTION = 0.375
+
+
+def synthetic_calibration_tokens(
+    vocab_size: int,
+    n_tokens: int = 4096,
+    seq_len: int = 512,
+    seed: int = 0,
+) -> np.ndarray:
+    """(B, S) int32 random-token calibration batch.
+
+    Used when no text corpus is available (e.g. the egress-blocked
+    bench environment). Random tokens exercise the full embedding
+    range; for production accuracy numbers pass real tokenized text
+    (eval/ppl.py datasets) instead.
+    """
+    rng = np.random.default_rng(seed)
+    seq_len = min(seq_len, n_tokens)
+    batch = max(1, n_tokens // seq_len)
+    return rng.integers(
+        0, vocab_size, (batch, seq_len), dtype=np.int64
+    ).astype(np.int32)
+
+
+class _Hess:
+    """Running input second moment for one quantization site."""
+
+    def __init__(self, n: int):
+        self.h = np.zeros((n, n), np.float32)
+        self.count = 0
+
+    def update(self, x: jnp.ndarray):
+        x2 = np.asarray(
+            jax.device_get(x.reshape(-1, x.shape[-1])), np.float32
+        )
+        self.h += x2.T @ x2
+        self.count += x2.shape[0]
+
+
+class _Rec:
+    """Callable linear wrapper: record the input, then delegate."""
+
+    def __init__(self, lin, hess: Optional[_Hess]):
+        self.lin = lin
+        self.hess = hess
+
+    def __call__(self, x):
+        if self.hess is not None:
+            self.hess.update(x)
+        return self.lin(x)
+
+
+def _get(obj, path: str):
+    for p in path.split("."):
+        obj = obj[int(p)] if p.isdigit() else getattr(obj, p)
+    return obj
+
+
+def _set(obj, path: str, value):
+    parts = path.split(".")
+
+    def rec(o, i):
+        p = parts[i]
+        if i == len(parts) - 1:
+            new = value
+        else:
+            child = o[int(p)] if p.isdigit() else getattr(o, p)
+            new = rec(child, i + 1)
+        if p.isdigit():
+            lst = list(o)
+            lst[int(p)] = new
+            return tuple(lst)
+        return o.replace(**{p: new})
+
+    return rec(obj, 0)
+
+
+def _mlp_slots(prefix: str, mlp, site_prefix: str):
+    """(path, site) slots for an Mlp — fused or split projections."""
+    slots = []
+    if getattr(mlp, "gate_up_proj", None) is not None:
+        slots.append((f"{prefix}.gate_up_proj", f"{site_prefix}gate_up"))
+    else:
+        slots.append((f"{prefix}.gate_proj", f"{site_prefix}gate_up"))
+        slots.append((f"{prefix}.up_proj", f"{site_prefix}gate_up"))
+    slots.append((f"{prefix}.down_proj", f"{site_prefix}down"))
+    return slots
+
+
+def _block_slots(block) -> List[Tuple[str, str]]:
+    """Enumerate (dotted_path, site_name) linear slots of one block.
+
+    Slots sharing a site name share their input tensor (q|k|v, gate|up)
+    — they get one Hessian and one joint format decision (so fusion
+    stays possible after mixed-precision selection).
+    """
+    from vptq_tpu.models.llama import DeepseekMoe, MlaAttention, MoeMlp
+
+    slots: List[Tuple[str, str]] = []
+    attn = block.attn
+    if isinstance(attn, MlaAttention):
+        if attn.q_proj is not None:
+            slots.append(("attn.q_proj", "q"))
+        else:
+            slots.append(("attn.q_a_proj", "q_a"))
+            slots.append(("attn.q_b_proj", "q_b"))
+        slots.append(("attn.kv_a_proj", "kv_a"))
+        slots.append(("attn.o_proj", "o"))
+    else:
+        if attn.qkv_proj is not None:
+            slots.append(("attn.qkv_proj", "qkv"))
+        else:
+            slots.append(("attn.q_proj", "qkv"))
+            slots.append(("attn.k_proj", "qkv"))
+            slots.append(("attn.v_proj", "qkv"))
+        slots.append(("attn.o_proj", "o"))
+
+    mlp = block.mlp
+    if isinstance(mlp, MoeMlp):
+        for e in range(len(mlp.experts)):
+            slots.extend(
+                _mlp_slots(f"mlp.experts.{e}", mlp.experts[e], f"e{e}.")
+            )
+    elif isinstance(mlp, DeepseekMoe):
+        for e in range(len(mlp.experts)):
+            slots.extend(
+                _mlp_slots(f"mlp.experts.{e}", mlp.experts[e], f"e{e}.")
+            )
+        slots.extend(
+            _mlp_slots(
+                "mlp.shared_experts", mlp.shared_experts, "shared."
+            )
+        )
+    else:
+        slots.extend(_mlp_slots("mlp", mlp, ""))
+    return [(p, s) for p, s in slots if _exists(block, p)]
+
+
+def _exists(block, path: str) -> bool:
+    try:
+        return _get(block, path) is not None
+    except AttributeError:
+        return False
+
+
+def _block_forward(i, block, x, cos, sin, cache, cfg):
+    """One decoder block, mirroring the loop body of models.llama
+    forward (llama.py forward) — used eagerly for capture/propagation."""
+    from vptq_tpu.models.llama import (
+        MlaAttention,
+        _attention,
+        _mla_attention,
+        _mlp,
+        rms_norm,
+    )
+
+    h = rms_norm(x, block.input_layernorm, cfg.rms_norm_eps)
+    if isinstance(block.attn, MlaAttention):
+        attn_out, cache = _mla_attention(
+            i, block.attn, h, cos, sin, cache, cfg
+        )
+    else:
+        attn_out, cache = _attention(
+            i, block.attn, h, cos, sin, cache, cfg, fresh_prefill=True
+        )
+    x = x + attn_out
+    h2 = rms_norm(x, block.post_attention_layernorm, cfg.rms_norm_eps)
+    x = x + _mlp(block.mlp, h2)
+    return x, cache
+
+
+def _exact_f32(lin) -> np.ndarray:
+    from vptq_tpu.layers.runtime import _exact_weight
+
+    return _exact_weight(lin)
+
+
+def _rtn_sensitivity(w: np.ndarray, diag_h: np.ndarray) -> float:
+    """Cheap per-layer sensitivity: diag-Hessian-weighted relative
+    output error of the plain int4 RTN re-encode. O(out*in) — used by
+    the ranking pass of ``int8_fraction`` (no Cholesky, H discarded)."""
+    q, s = gptq_quantize(w, None, bits=4)
+    spans = group_spans(w.shape[1], 128)
+    dw = dequant_groups(q, s, spans) - w
+    d = diag_h.astype(np.float64)
+    num = float((dw.astype(np.float64) ** 2).sum(axis=0) @ d)
+    den = float((w.astype(np.float64) ** 2).sum(axis=0) @ d)
+    return num / den if den > 0 else 0.0
+
+
+def _quantize_site(
+    members: List[Tuple[str, VQLinear]],
+    hess: Optional[np.ndarray],
+    fmt: str,
+    int8_threshold: Optional[float],
+    damp: float,
+    force_int8: bool = False,
+):
+    """GPTQ-encode all linears of one site; returns
+    ([(path, new_lin)], site_report)."""
+    from vptq_tpu.layers.runtime import (
+        int4_from_q,
+        int8_from_q,
+        pick_group,
+    )
+
+    weights = [(_p, _exact_f32(lin), lin.bias) for _p, lin in members]
+
+    def encode(bits: int):
+        out = []
+        errs = []
+        for path, w, bias in weights:
+            in_f = w.shape[1]
+            if bits == 4:
+                pad = (-in_f) % 128
+                group = 128
+            else:
+                group = pick_group(in_f)
+                pad = (-in_f) % group
+            wp = np.pad(w, ((0, 0), (0, pad))) if pad else w
+            hp = hess
+            if hess is not None and pad:
+                hp = np.zeros(
+                    (in_f + pad, in_f + pad), hess.dtype
+                )
+                hp[:in_f, :in_f] = hess
+            q, scales = gptq_quantize(
+                wp, hp, bits=bits, group=group, damp=damp
+            )
+            spans = group_spans(wp.shape[1], group)
+            w_hat = dequant_groups(q, scales, spans)[:, :in_f]
+            errs.append(output_error_ratio(w, w_hat, hess))
+            if bits == 4:
+                out.append((path, int4_from_q(q, scales, bias)))
+            else:
+                out.append((path, int8_from_q(q, scales, bias)))
+        return out, errs
+
+    target_bits = 8 if (fmt == "int8" or force_int8) else 4
+    encoded, errs = encode(target_bits)
+    site_fmt = f"int{target_bits}"
+    err4 = max(errs) if target_bits == 4 else None
+    if (
+        target_bits == 4
+        and int8_threshold is not None
+        and err4 > int8_threshold
+    ):
+        encoded, errs = encode(8)
+        site_fmt = "int8"
+    rep = {"format": site_fmt, "err_ratio": max(errs)}
+    if err4 is not None:
+        rep["err_ratio_int4"] = err4
+    return encoded, rep
+
+
+def _site_map(block) -> Dict[str, List[str]]:
+    """Slot paths grouped into shared-input sites, in slot order."""
+    sites: Dict[str, List[str]] = {}
+    for path, site in _block_slots(block):
+        sites.setdefault(site, []).append(path)
+    return sites
+
+
+def _capture_block(
+    i, block, sites, x, cos, sin, cache, cfg
+) -> Tuple[jnp.ndarray, object, Dict[str, _Hess]]:
+    """Run one block eagerly with exact f32 dense mirrors and one
+    input recorder per site that has a compressed member. Returns
+    (x_next, cache, hessians)."""
+    hessians: Dict[str, _Hess] = {}
+    cap = block
+    for site, paths in sites.items():
+        vq = [p for p in paths if isinstance(_get(block, p), VQLinear)]
+        rec_h = None
+        if vq:
+            in_f = _get(block, vq[0]).cfg.in_features
+            rec_h = hessians[site] = _Hess(in_f)
+        for j, p in enumerate(paths):
+            lin = _get(block, p)
+            if isinstance(lin, VQLinear):
+                lin = DenseLinear(
+                    weight=jnp.asarray(_exact_f32(lin)),
+                    bias=lin.bias,
+                )
+            cap = _set(cap, p, _Rec(lin, rec_h if j == 0 else None))
+    x, cache = _block_forward(i, cap, x, cos, sin, cache, cfg)
+    return x, cache, hessians
+
+
+def quantize_model_calibrated(
+    model,
+    tokens: Optional[np.ndarray] = None,
+    fmt: str = "int4",
+    *,
+    int8_threshold: Optional[float] = None,
+    int8_fraction: Optional[float] = None,
+    damp: float = 0.01,
+    fuse: bool = True,
+) -> Tuple[object, Dict[str, dict]]:
+    """Calibrated re-encode of a codebook-format model.
+
+    Args:
+        model: a :class:`~vptq_tpu.models.llama.Model` loaded with
+            ``runtime_format="codebook"`` and ``fuse=False`` (exact).
+        tokens: (B, S) int32 calibration token batch; defaults to
+            4096 synthetic tokens
+            (:func:`synthetic_calibration_tokens`).
+        fmt: "int4" (pure, GPTQ) or "int4-mixed" (GPTQ + per-site
+            int8 for the measured-most-sensitive sites) or "int8".
+        int8_threshold: measured output-error ratio above which an
+            int4 site is re-encoded int8.
+        int8_fraction: keep this fraction of sites int8, chosen by a
+            RANKING pass (per-site diag-H-weighted RTN sensitivity
+            over the whole model, then a quantile cut) — predictable
+            bit budget, unlike the threshold. Defaults to
+            ``MIXED_INT8_FRACTION`` for fmt="int4-mixed" when neither
+            knob is given. Costs one extra capture pass.
+        fuse: fuse q|k|v / gate|up and stack MoE experts afterwards
+            (runtime.fuse_model).
+
+    Returns:
+        (quantized Model on the default device, per-site report dict
+        with an extra ``"summary"`` entry).
+    """
+    from vptq_tpu.models.llama import (
+        init_cache,
+        rope_cos_sin,
+        rope_frequencies,
+    )
+
+    if fmt not in ("int4", "int4-mixed", "int8"):
+        raise ValueError(f"unsupported calibrated format {fmt!r}")
+    if (
+        fmt == "int4-mixed"
+        and int8_threshold is None
+        and int8_fraction is None
+    ):
+        int8_fraction = MIXED_INT8_FRACTION
+
+    cfg = model.cfg
+    if tokens is None:
+        tokens = synthetic_calibration_tokens(cfg.vocab_size)
+    tokens = jnp.asarray(np.asarray(tokens), jnp.int32)
+    batch, seq = tokens.shape
+
+    def fresh_inputs():
+        x = model.embed_tokens[tokens].astype(jnp.float32)
+        positions = jnp.broadcast_to(
+            jnp.arange(seq, dtype=jnp.int32)[None, :], (batch, seq)
+        )
+        inv_freq, rope_scale = rope_frequencies(cfg)
+        cos, sin = rope_cos_sin(positions, inv_freq, rope_scale)
+        cache = init_cache(cfg, batch, seq + 8, jnp.float32)
+        return x, cos, sin, cache
+
+    report: Dict[str, dict] = {}
+
+    # ---- ranking pass: measured per-site sensitivity -> int8 set ----
+    forced_int8: set = set()
+    if int8_fraction is not None and fmt != "int8":
+        x, cos, sin, cache = fresh_inputs()
+        sens: Dict[str, float] = {}
+        for i, block in enumerate(model.blocks):
+            sites = _site_map(block)
+            x, cache, hessians = _capture_block(
+                i, block, sites, x, cos, sin, cache, cfg
+            )
+            for site, h in hessians.items():
+                vq = [
+                    _get(block, p)
+                    for p in sites[site]
+                    if isinstance(_get(block, p), VQLinear)
+                ]
+                diag_h = np.diag(h.h)
+                sens[f"layers.{i}.{site}"] = max(
+                    _rtn_sensitivity(_exact_f32(lin), diag_h)
+                    for lin in vq
+                )
+        n8 = int(round(len(sens) * int8_fraction))
+        ranked = sorted(sens, key=sens.get, reverse=True)
+        forced_int8 = set(ranked[:n8])
+        for k, v in sens.items():
+            report[k] = {"sensitivity": v}
+        logger.info(
+            "ranking pass: %d/%d sites -> int8 (cut %.3g)",
+            n8, len(sens), sens[ranked[n8 - 1]] if n8 else 0.0,
+        )
+
+    # ---- main pass: capture + GPTQ + propagate quantized stream ----
+    x, cos, sin, cache = fresh_inputs()
+    new_blocks = []
+    for i, block in enumerate(model.blocks):
+        sites = _site_map(block)
+        x_cap, cache, hessians = _capture_block(
+            i, block, sites, x, cos, sin, cache, cfg
+        )
+
+        # quantize each site (joint format decision per site)
+        qblock = block
+        any_quantized = False
+        for site, paths in sites.items():
+            members = [
+                (p, _get(block, p))
+                for p in paths
+                if isinstance(_get(block, p), VQLinear)
+            ]
+            if not members:
+                continue
+            key = f"layers.{i}.{site}"
+            h = hessians[site]
+            encoded, site_rep = _quantize_site(
+                members,
+                h.h.astype(np.float64) if h.count else None,
+                fmt,
+                int8_threshold,
+                damp,
+                force_int8=key in forced_int8,
+            )
+            for path, new_lin in encoded:
+                qblock = _set(qblock, path, new_lin)
+            report.setdefault(key, {}).update(site_rep)
+            any_quantized = True
+
+        if any_quantized:
+            # propagate the QUANTIZED activations to later blocks
+            x, cache = _block_forward(
+                i, qblock, x, cos, sin, cache, cfg
+            )
+        else:
+            x = x_cap
+        new_blocks.append(qblock)
+        logger.info(
+            "calibrated block %d/%d: %s",
+            i + 1,
+            len(model.blocks),
+            {
+                k.split(".")[-1]: v["format"]
+                for k, v in report.items()
+                if k.startswith(f"layers.{i}.") and "format" in v
+            },
+        )
+
+    from vptq_tpu.models.llama import Model
+
+    out = Model(
+        embed_tokens=model.embed_tokens,
+        blocks=tuple(new_blocks),
+        norm=model.norm,
+        lm_head=model.lm_head,
+        cfg=cfg,
+    )
+    if fuse:
+        from vptq_tpu.layers.runtime import fuse_model
+
+        out = fuse_model(out)
+    out = jax.tree.map(jnp.asarray, out)
+
+    n8 = sum(1 for r in report.values() if r.get("format") == "int8")
+    n4 = sum(1 for r in report.values() if r.get("format") == "int4")
+    report["summary"] = {
+        "sites": n4 + n8,
+        "int4_sites": n4,
+        "int8_sites": n8,
+        "calib_tokens": int(batch * seq),
+    }
+    return out, report

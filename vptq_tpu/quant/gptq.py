@@ -1,0 +1,211 @@
+"""Error-feedback weight quantization (GPTQ) for the runtime formats.
+
+Rounds a weight matrix column by column; after each column the rounding
+error — whitened by the Cholesky factor of the inverse input Hessian
+``H = X^T X`` — is subtracted from the not-yet-quantized columns, so
+correlated input directions absorb each other's rounding noise. This is
+the standard GPTQ recurrence (Frantar et al., 2023) specialized to the
+symmetric group-scaled int4/int8 layouts of
+:mod:`vptq_tpu.layers.runtime`.
+
+Runs ONCE on the host at ingestion time (numpy; Cholesky via LAPACK), so
+the serving path is unchanged — the output is bit-compatible with the
+RTN encoders (`packing.quantize_int4` / `_encode_int8`) and feeds the
+same Pallas kernels.
+
+Reference anchor: the reference ships no re-quantizer (its accuracy
+lives in the offline VPTQ algorithm, out of scope per SURVEY.md), but
+its accuracy discipline — fidelity measured against an exact oracle,
+reference tests/test_quant_gemv.py:174-194 — is the bar this module
+exists to meet for the dense formats.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["gptq_quantize", "group_spans", "output_error_ratio"]
+
+
+def group_spans(
+    in_features: int, group: int, block: Optional[int] = None
+) -> List[Tuple[int, int]]:
+    """Scale-group column spans [start, end) for a row of weights.
+
+    ``block``: optional outer block width (the shard width of the
+    blocked TP layout, parallel/tp.py) — groups never straddle a block
+    boundary; the last group of each block may be short.
+    """
+    spans = []
+    block = block or in_features
+    for b0 in range(0, in_features, block):
+        b1 = min(b0 + block, in_features)
+        for g0 in range(b0, b1, group):
+            spans.append((g0, min(g0 + group, b1)))
+    return spans
+
+
+def _bf16_rne(x: np.ndarray) -> np.ndarray:
+    import ml_dtypes
+
+    return x.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+
+def _group_scale(
+    w_group: np.ndarray, qmax: int, bf16_scales: bool,
+    candidates: Sequence[float],
+) -> np.ndarray:
+    """Per-row scale for one column group of (updated) weights.
+
+    Same MSE grid search as packing.quantize_int4 (absmax shrink
+    factors, RTN round-trip error as the criterion — the error
+    feedback downstream only improves on that choice).
+    """
+    absmax = np.abs(w_group).max(axis=1)
+    base = np.where(absmax > 0, absmax / qmax, 1.0).astype(np.float32)
+    rnd = _bf16_rne if bf16_scales else lambda v: v
+    scale = rnd(base)
+    q = np.clip(np.round(w_group / scale[:, None]), -qmax, qmax)
+    best = ((w_group - q * scale[:, None]) ** 2).sum(axis=1)
+    for f in candidates[1:]:
+        s = rnd(base * np.float32(f))
+        qc = np.clip(np.round(w_group / s[:, None]), -qmax, qmax)
+        err = ((w_group - qc * s[:, None]) ** 2).sum(axis=1)
+        better = err < best
+        best = np.where(better, err, best)
+        scale = np.where(better, s, scale)
+    return scale
+
+
+def _cholesky_inv_upper(h: np.ndarray, damp: float) -> np.ndarray:
+    """Upper Cholesky factor of H^-1 (dampened), f64 for stability."""
+    from scipy import linalg
+
+    h = h.astype(np.float64, copy=True)
+    idx = np.arange(h.shape[0])
+    diag = h[idx, idx]
+    h[idx, idx] = np.where(diag <= 0, 1.0, diag) + damp * float(
+        np.where(diag <= 0, 1.0, diag).mean()
+    )
+    # H^-1 via Cholesky solve, then the upper factor of H^-1
+    lo, low = linalg.cho_factor(h, lower=True, check_finite=False)
+    hinv = linalg.cho_solve(
+        (lo, low), np.eye(h.shape[0]), check_finite=False
+    )
+    return linalg.cholesky(hinv, lower=False, check_finite=False)
+
+
+def gptq_quantize(
+    w: np.ndarray,  # (out, in) f32 — exact weights
+    hessian: Optional[np.ndarray],  # (in, in) — X^T X (f32/f64)
+    *,
+    bits: int = 4,
+    group: int = 128,
+    block: Optional[int] = None,
+    damp: float = 0.01,
+    scale_candidates: Sequence[float] = tuple(
+        1.0 - 0.05 * i for i in range(8)
+    ),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Quantize ``w`` to symmetric group-scaled ints with error feedback.
+
+    Returns ``(q, scales)``: ``q`` int8 of ``w.shape`` in
+    ``[-qmax, qmax]`` and ``scales`` f32 of shape
+    ``(out, n_groups)`` — directly consumable by
+    :func:`vptq_tpu.layers.runtime.int4_from_q` /
+    :func:`~vptq_tpu.layers.runtime.int8_from_q`.
+
+    ``hessian=None`` degrades to plain RTN with the grid-searched
+    scales (no feedback term exists without input correlations).
+    ``bits=4`` stores bf16-rounded scales (the Int4Linear layout);
+    ``bits=8`` keeps f32 scales (Int8Linear).
+    ``block``: blocked-TP shard width — groups are restarted at each
+    block boundary (see :func:`group_spans`).
+    """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, not {bits}")
+    qmax = 7 if bits == 4 else 127
+    bf16_scales = bits == 4
+    out_f, in_f = w.shape
+    spans = group_spans(in_f, group, block)
+
+    q = np.zeros((out_f, in_f), np.int8)
+    scales = np.zeros((out_f, len(spans)), np.float32)
+
+    if hessian is None:
+        wf = w.astype(np.float32)
+        for gi, (g0, g1) in enumerate(spans):
+            s = _group_scale(
+                wf[:, g0:g1], qmax, bf16_scales, scale_candidates
+            )
+            scales[:, gi] = s
+            q[:, g0:g1] = np.clip(
+                np.round(wf[:, g0:g1] / s[:, None]), -qmax, qmax
+            ).astype(np.int8)
+        return q, scales
+
+    u = _cholesky_inv_upper(np.asarray(hessian), damp)
+    udiag = np.einsum("ii->i", u).astype(np.float32)
+    u32 = u.astype(np.float32)
+
+    wrk = w.astype(np.float32, copy=True)
+    # dead inputs (never activated): quantize to zero, no feedback
+    dead = np.asarray(np.einsum("ii->i", np.asarray(hessian)) <= 0)
+    if dead.any():
+        wrk[:, dead] = 0.0
+
+    for gi, (g0, g1) in enumerate(spans):
+        s = _group_scale(
+            wrk[:, g0:g1], qmax, bf16_scales, scale_candidates
+        )
+        scales[:, gi] = s
+        inv_s = 1.0 / s
+        err_blk = np.empty((out_f, g1 - g0), np.float32)
+        for j in range(g0, g1):
+            wc = wrk[:, j]
+            qc = np.clip(np.round(wc * inv_s), -qmax, qmax)
+            q[:, j] = qc.astype(np.int8)
+            err = (wc - qc * s) / udiag[j]
+            err_blk[:, j - g0] = err
+            if j + 1 < g1:
+                # in-group feedback (next columns of this group)
+                wrk[:, j + 1: g1] -= np.outer(err, u32[j, j + 1: g1])
+        if g1 < in_f:
+            # batched feedback onto all later groups
+            wrk[:, g1:] -= err_blk @ u32[g0:g1, g1:]
+    return q, scales
+
+
+def dequant_groups(
+    q: np.ndarray, scales: np.ndarray, spans: List[Tuple[int, int]]
+) -> np.ndarray:
+    """Host dequant of (q, scales) over explicit group spans."""
+    w = q.astype(np.float32)
+    for gi, (g0, g1) in enumerate(spans):
+        w[:, g0:g1] *= scales[:, gi: gi + 1]
+    return w
+
+
+def output_error_ratio(
+    w: np.ndarray, w_hat: np.ndarray, hessian: Optional[np.ndarray]
+) -> float:
+    """Relative expected output error of the re-encode.
+
+    ``E||(W - W_hat) x||^2 / E||W x||^2`` over the calibration input
+    distribution: ``tr(dW H dW^T) / tr(W H W^T)``. This is the
+    sensitivity measure driving mixed-precision format selection
+    (calibrate.quantize_model_calibrated). With ``hessian=None`` it
+    degrades to the plain relative squared weight RMS.
+    """
+    dw = (w_hat - w).astype(np.float64)
+    wf = w.astype(np.float64)
+    if hessian is None:
+        num = float(np.sum(dw * dw))
+        den = float(np.sum(wf * wf))
+    else:
+        h = np.asarray(hessian, np.float64)
+        num = float(np.sum((dw @ h) * dw))
+        den = float(np.sum((wf @ h) * wf))
+    return num / den if den > 0 else 0.0

@@ -39,8 +39,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--runtime-format", type=str, default="int8",
-        choices=("int8", "int4", "bf16", "codebook"),
-        help="runtime weight format (see ARCHITECTURE.md)",
+        choices=("int8", "int4", "int4-mixed", "bf16", "codebook"),
+        help="runtime weight format (see ARCHITECTURE.md); "
+        "int4-mixed = calibrated GPTQ int4 with the measured-most-"
+        "sensitive sites kept int8 (single-chip only)",
+    )
+    p.add_argument(
+        "--calibration-tokens", type=int, default=0,
+        help="calibrate the re-encode on this many synthetic tokens "
+        "(GPTQ error feedback; implied 4096 for int4-mixed)",
     )
     p.add_argument("--max-new-tokens", type=int, default=256)
     p.add_argument("--max-seq", type=int, default=2048)
@@ -84,6 +91,11 @@ def _load(args):
                 "--runtime-format int8/int4/bf16 (or the library-"
                 "level GSPMD path for codebook)"
             )
+        if args.runtime_format == "int4-mixed" or args.calibration_tokens:
+            raise SystemExit(
+                "calibrated formats are single-chip for now — "
+                "drop --tp or use --runtime-format int8/int4"
+            )
         if len(jax.devices()) < args.tp:
             raise SystemExit(
                 f"--tp {args.tp} but only {len(jax.devices())} "
@@ -100,6 +112,7 @@ def _load(args):
         quantize_lm_head=args.quantize_lm_head,
         mesh=mesh,
         parallel="tp",
+        calibration=args.calibration_tokens or None,
     )
     pc = None
     if args.prefix_cache_mb > 0:
