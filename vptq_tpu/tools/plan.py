@@ -101,15 +101,58 @@ def _abs(shape, dtype):
     return jax.ShapeDtypeStruct(tuple(int(s) for s in shape), dtype)
 
 
-def _abs_linear(in_f: int, out_f: int, fmt: str, row_shards: int = 1):
+def parse_vq(spec: str):
+    """'v8-k65536-256' -> (8, 65536, 256) — the community model-name
+    geometry convention (reference README.md:143-159)."""
+    import re
+
+    m = re.fullmatch(r"v(\d+)-k(\d+)-(\d+)", spec)
+    if not m:
+        raise ValueError(
+            f"bad --vq spec {spec!r}; expected e.g. v8-k65536-256"
+        )
+    return tuple(int(g) for g in m.groups())
+
+
+def _abs_linear(
+    in_f: int, out_f: int, fmt: str, row_shards: int = 1, vq=None
+):
     """Abstract runtime linear with the encoders' exact shapes
-    (layers/runtime.py to_int8/_encode_int4/to_bf16).
+    (layers/runtime.py to_int8/_encode_int4/to_bf16; loader
+    normalize_vq_layer for "codebook").
 
     ``row_shards > 1``: the blocked shard_map-TP layout of a
     row-parallel layer (per-shard padding — runtime._encode_int8/
-    _encode_int4 with shards=n)."""
+    _encode_int4 with shards=n). ``vq``: (v, k, kres) geometry for
+    ``fmt="codebook"``."""
     from vptq_tpu.layers.dense import DenseLinear
     from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
+
+    if fmt == "codebook":
+        from vptq_tpu.layers.vqlinear import VQLinear
+        from vptq_tpu.ops.packing import index_plane_dtype
+        from vptq_tpu.utils.memory import synth_vq_config
+
+        v, k, kres = vq or (8, 65536, 256)
+        lcfg = synth_vq_config(out_f, in_f, v, k, kres)
+        n_idx = lcfg.num_indices
+        return VQLinear(
+            centroids=_abs((1, k, v), jnp.bfloat16),
+            ids=_abs((1, n_idx, in_f), index_plane_dtype(k)),
+            res_centroids=_abs((1, kres, v), jnp.bfloat16)
+            if kres > 0
+            else None,
+            res_ids=_abs((1, n_idx, in_f), index_plane_dtype(kres))
+            if kres > 0
+            else None,
+            outlier_centroids=None,
+            outlier_ids=None,
+            inv_perm=None,
+            weight_scale=_abs((in_f,), jnp.bfloat16),
+            weight_bias=_abs((in_f,), jnp.bfloat16),
+            bias=None,
+            cfg=lcfg,
+        )
 
     if fmt == "int8":
         if row_shards > 1:
@@ -159,13 +202,24 @@ def abstract_runtime_model(
     fmt: str = "int4",
     quantize_lm_head: bool = True,
     tp_shards: int = 1,
+    vq=None,
 ) -> Model:
     """A fused runtime :class:`Model` of ShapeDtypeStruct leaves.
 
     ``tp_shards > 1``: the shard_map-TP layout — row-parallel layers
     (o_proj / down_proj) take the blocked per-shard encoding shapes
     (same rule the loader applies under ``parallel="tp"``).
+
+    ``fmt="codebook"``: UNFUSED blocks of abstract VQLinear leaves at
+    the ``vq=(v, k, kres)`` geometry (the loader never fuses codebook
+    layers) — GSPMD placement only (tp_shards must be 1); MoE
+    geometries are not supported (codebook experts are per-expert
+    modules, no stacked fast path).
     """
+    if fmt == "codebook" and tp_shards > 1:
+        raise ValueError(
+            "codebook format plans under GSPMD, not shard_map TP"
+        )
     h = cfg.hidden_size
     nh, nkv, hd = (
         cfg.num_attention_heads,
@@ -281,18 +335,34 @@ def abstract_runtime_model(
                     cfg.num_local_experts, h, 2 * inter, inter
                 ),
             )
+        elif fmt == "codebook":
+            # the loader keeps codebook layers unfused
+            mlp = Mlp(
+                gate_proj=_abs_linear(h, inter, fmt, vq=vq),
+                up_proj=_abs_linear(h, inter, fmt, vq=vq),
+                down_proj=_abs_linear(inter, h, fmt, vq=vq),
+            )
         else:
             mlp = dense_mlp(inter)
 
-        block = Block(
-            input_layernorm=norm,
-            attn=Attention(
+        if fmt == "codebook":
+            attn = Attention(
+                q_proj=_abs_linear(h, nh * hd, fmt, vq=vq),
+                k_proj=_abs_linear(h, nkv * hd, fmt, vq=vq),
+                v_proj=_abs_linear(h, nkv * hd, fmt, vq=vq),
+                o_proj=_abs_linear(nh * hd, h, fmt, vq=vq),
+            )
+        else:
+            attn = Attention(
                 q_proj=None,
                 k_proj=None,
                 v_proj=None,
                 o_proj=_abs_linear(nh * hd, h, fmt, tp_shards),
                 qkv_proj=_abs_linear(h, qkv_out, fmt),
-            ),
+            )
+        block = Block(
+            input_layernorm=norm,
+            attn=attn,
             post_attention_layernorm=norm,
             mlp=mlp,
         )
@@ -436,6 +506,7 @@ def validate_plan(
     max_seq: int = 2048,
     quantize_lm_head: bool = True,
     parallel: str = "gspmd",
+    vq=None,
 ):
     """AOT-compile the sharded decode step at full geometry.
 
@@ -451,6 +522,11 @@ def validate_plan(
     from vptq_tpu.models.llama import forward
     from vptq_tpu.parallel.sharding import shard_cache, shard_model
 
+    if fmt == "codebook" and parallel == "tp":
+        raise ValueError(
+            "codebook format has no shard_map-TP path — plan with "
+            "parallel='gspmd' (XLA partitions the gathers natively)"
+        )
     if parallel == "tp":
         from vptq_tpu.parallel.tp import forward_tp, tp_validate
 
@@ -469,7 +545,7 @@ def validate_plan(
                 model, tokens, cache, specs, mesh
             ).compile()
 
-    model = abstract_runtime_model(cfg, fmt, quantize_lm_head)
+    model = abstract_runtime_model(cfg, fmt, quantize_lm_head, vq=vq)
     model = shard_model(model, mesh)  # abstract mode: attaches specs
     cache = jax.eval_shape(
         lambda: init_cache(cfg, batch, max_seq, jnp.bfloat16)
@@ -491,7 +567,13 @@ def main(argv=None) -> int:
         "--geometry", required=True, choices=sorted(GEOMETRIES)
     )
     ap.add_argument(
-        "--format", default="int4", choices=("int8", "int4", "bf16")
+        "--format", default="int4",
+        choices=("int8", "int4", "bf16", "codebook"),
+    )
+    ap.add_argument(
+        "--vq", default="v8-k65536-256",
+        help="VQ geometry for --format codebook "
+        "(model-name convention, e.g. v8-k65536-256)",
     )
     ap.add_argument("--chips", type=int, default=1)
     ap.add_argument("--batch", type=int, default=1)
@@ -517,19 +599,25 @@ def main(argv=None) -> int:
             **GEOMETRIES[args.geometry],
         }
     )
+    vq = parse_vq(args.vq)
+    if args.format == "codebook" and args.parallel == "tp":
+        # codebook's only multi-chip story is GSPMD
+        print("# codebook plans under GSPMD (no shard_map-TP path)")
+        args.parallel = "gspmd"
     tp_shards = (
         args.chips
         if args.parallel == "tp" and args.chips > 1
         else 1
     )
     est = hbm.estimate_model_bytes(
-        cfg, args.format, tp_shards=tp_shards
+        cfg, args.format, tp_shards=tp_shards, default_vq=vq
     )
     kv = hbm.kv_cache_bytes(cfg, args.batch, args.max_seq)
     table = hbm.budget_table(
         cfg, hbm_bytes=int(args.hbm_gb * hbm.GiB),
         batch=args.batch, max_seq=args.max_seq,
-        formats=("int4", "int8", "bf16"),
+        formats=("codebook", "int4", "int8", "bf16"),
+        default_vq=vq,
     )
     print(f"# {args.geometry} @ {args.format}, {args.chips} chip(s)")
     print(hbm.format_budget_table(table))
@@ -569,7 +657,7 @@ def main(argv=None) -> int:
         )
         compiled = validate_plan(
             cfg, args.format, mesh, args.batch, args.max_seq,
-            parallel=args.parallel,
+            parallel=args.parallel, vq=vq,
         )
         mem = compiled.memory_analysis()
         if mem is not None:

@@ -26,6 +26,7 @@ __all__ = [
     "linear_runtime_bytes",
     "model_geometry",
     "estimate_model_bytes",
+    "synth_vq_config",
     "kv_cache_bytes",
     "model_bytes",
     "budget_table",
@@ -251,12 +252,35 @@ def _lookup_geom(qcfg, tail: str, out_f: int, in_f: int):
     return fallback
 
 
+def synth_vq_config(
+    out_f: int, in_f: int, v: int = 8, k: int = 65536, kres: int = 256
+):
+    """A planning-mode VQLinearConfig: the community checkpoint
+    geometry (v{v}-k{k}-{kres}, 1 codebook, norm, no outliers) at the
+    given linear shape — lets the planner budget/compile the
+    ``codebook`` format before any checkpoint exists."""
+    from vptq_tpu.config import VQLinearConfig
+
+    return VQLinearConfig(
+        in_features=in_f,
+        out_features=out_f,
+        vector_lens=(-1, v),
+        num_centroids=(-1, k),
+        num_res_centroids=(-1, kres),
+        group_num=1,
+        group_size=in_f,
+        outlier_size=0,
+        enable_norm=True,
+    )
+
+
 def estimate_model_bytes(
     cfg,
     fmt: str,
     qcfg=None,
     quantize_lm_head: bool = False,
     tp_shards: int = 1,
+    default_vq=None,
 ) -> Dict[str, int]:
     """Predicted HBM bytes of a loaded model, from geometry alone.
 
@@ -292,9 +316,16 @@ def estimate_model_bytes(
                 )
         else:
             # planning mode (no checkpoint yet): assume every block
-            # linear carries the runtime format
+            # linear carries the runtime format; for "codebook" a
+            # default VQ geometry (v, k, kres) stands in for the
+            # checkpoint's per-layer configs
+            vq = None
+            if fmt == "codebook" and default_vq is not None:
+                vq = synth_vq_config(
+                    g.out_features, g.in_features, *default_vq
+                )
             per = linear_runtime_bytes(
-                g.out_features, g.in_features, fmt, None, row_shards
+                g.out_features, g.in_features, fmt, vq, row_shards
             )
         blocks += per * g.count
     out["blocks"] = blocks
@@ -360,6 +391,7 @@ def budget_table(
     batch: int = 1,
     max_seq: int = 2048,
     utilization: float = 0.9,
+    default_vq=None,
 ) -> List[Dict]:
     """fmt × n_chips → HBM/chip table (weights + KV cache).
 
@@ -370,7 +402,9 @@ def budget_table(
     kv = kv_cache_bytes(cfg, batch, max_seq)
     rows = []
     for fmt in formats:
-        est = estimate_model_bytes(cfg, fmt, qcfg)
+        est = estimate_model_bytes(
+            cfg, fmt, qcfg, default_vq=default_vq
+        )
         row = {
             "format": fmt,
             "weights_gib": est["total"] / GiB,
