@@ -108,6 +108,26 @@ def build_7b_int8(rng, fmt="int8"):
                 weight_bias=jnp.zeros((in_f,), jnp.float32),
                 cfg=lcfg,
             )
+        if (f or fmt) == "int3":
+            from vptq_tpu.layers.runtime import Int3Linear
+
+            in_p = in_f + ((-in_f) % 2048)
+            key_holder[0], k3 = jax.random.split(key_holder[0])
+            return Int3Linear(
+                wq2=jax.random.randint(
+                    k1, (out_f, in_p // 4), -128, 128, dtype=jnp.int8
+                ),
+                wq1=jax.random.randint(
+                    k3, (out_f, in_p // 8), -128, 128, dtype=jnp.int8
+                ),
+                scales=0.005 * (
+                    1
+                    + jax.random.uniform(
+                        k2, (out_f, in_p // 128), jnp.bfloat16
+                    )
+                ),
+                bias=None,
+            )
         if (f or fmt) == "int4":
             in_p = in_f + ((-in_f) % 2048)
             wq = jax.random.randint(
@@ -221,6 +241,8 @@ def main():
     fmt = "int8"
     if "--int4" in sys.argv:
         fmt = "int4"
+    elif "--int3" in sys.argv:
+        fmt = "int3"
     elif "--mixed" in sys.argv:
         fmt = "int4mixed"
     elif "--codebook" in sys.argv:

@@ -1,0 +1,213 @@
+"""int3 runtime format: plane packing, kernel semantics, plumbing.
+
+The sub-4-bit memory-floor format (VERDICT r2 item 5): ~3.1 bits per
+weight, 70B -> 2 chips (tests/test_plan.py budget row). Mirrors the
+int4 test structure.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vptq_tpu.layers.runtime import (
+    Int3Linear,
+    _exact_weight,
+    fuse_linears,
+    to_int3,
+)
+from vptq_tpu.ops.packing import pack_int3, quantize_int3, unpack_int3
+from vptq_tpu.utils.synth import make_config, make_layer
+
+
+def _mk_layer(seed=9, in_features=640, out_features=192):
+    cfg = make_config(
+        in_features=in_features,
+        out_features=out_features,
+        vector_len=8,
+        num_centroids=1024,
+        num_res_centroids=64,
+        enable_norm=True,
+        enable_perm=True,
+    )
+    return make_layer(cfg, seed=seed)
+
+
+def test_pack_int3_roundtrip():
+    rng = np.random.default_rng(0)
+    q = rng.integers(-4, 4, (48, 2048)).astype(np.int8)
+    p2, p1 = pack_int3(q)
+    assert p2.shape == (48, 512) and p1.shape == (48, 256)
+    assert (unpack_int3(p2, p1) == q).all()
+
+
+def test_quantize_int3_range_and_scales():
+    rng = np.random.default_rng(1)
+    w = rng.normal(0, 0.02, (32, 1024)).astype(np.float32)
+    q, s = quantize_int3(w)
+    assert q.min() >= -4 and q.max() <= 3
+    # scales must survive bf16 storage round-trip unchanged
+    assert (
+        s == np.asarray(jnp.asarray(s, jnp.bfloat16), np.float32)
+    ).all()
+
+
+def test_int3_reencode_error_bound():
+    layer = _mk_layer()
+    w = _exact_weight(layer)
+    rt = to_int3(layer)
+    q = unpack_int3(np.asarray(rt.wq2), np.asarray(rt.wq1))
+    s = np.asarray(rt.scales, dtype=np.float32)  # (out, S) out-major
+    w_hat = (
+        q.astype(np.float32).reshape(w.shape[0], -1, 128)
+        * s[:, :, None]
+    ).reshape(w.shape[0], -1)[:, : w.shape[1]]
+    rel = np.sqrt(np.mean((w_hat - w) ** 2)) / np.sqrt(np.mean(w**2))
+    # int3 RTN: ~20% weight RMS (documented honestly — the fidelity
+    # story for int3 is the calibrated/mixed path, like int4's)
+    assert rel < 0.22, rel
+
+
+def test_int3_apply_matches_dequant_matmul():
+    layer = _mk_layer()
+    rt = to_int3(layer)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.normal(0, 1, (4, layer.cfg.in_features)), jnp.float32
+    )
+    got = np.asarray(rt(x), dtype=np.float32)
+
+    q = unpack_int3(np.asarray(rt.wq2), np.asarray(rt.wq1))
+    s = np.asarray(rt.scales, dtype=np.float32)
+    w_hat = (
+        q.astype(np.float32).reshape(q.shape[0], -1, 128)
+        * s[:, :, None]
+    ).reshape(q.shape[0], -1)[:, : layer.cfg.in_features]
+    want = np.asarray(x) @ w_hat.T
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("in_tile", [1024, 2048])
+def test_w3_matmul_interpret_matches_oracle(in_tile):
+    """Pallas kernel (interpreter mode) vs host dequant matmul."""
+    os.environ["VPTQ_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        from vptq_tpu.ops.pallas_gemm import w3_matmul
+
+        rng = np.random.default_rng(5)
+        out_f, in_f = 320, 2048  # out not a multiple of out_tile
+        w = rng.normal(0, 0.02, (out_f, in_f)).astype(np.float32)
+        q, s = quantize_int3(w)
+        p2, p1 = pack_int3(q)
+        x = jnp.asarray(rng.normal(0, 1, (3, in_f)), jnp.float32)
+
+        got = np.asarray(
+            w3_matmul(
+                x, jnp.asarray(p2), jnp.asarray(p1),
+                jnp.asarray(s, jnp.bfloat16),
+                out_tile=256, in_tile=in_tile,
+                out_dtype=jnp.float32,
+            )
+        )
+        w_hat = (
+            q.astype(np.float32).reshape(out_f, -1, 128)
+            * s[:, :, None]
+        ).reshape(out_f, in_f)
+        want = np.asarray(
+            jnp.asarray(np.asarray(x), jnp.bfloat16), np.float32
+        ) @ w_hat.T
+        # weight-side bf16 scale application: slightly looser than w4
+        np.testing.assert_allclose(got, want, rtol=0.03, atol=0.03)
+    finally:
+        os.environ.pop("VPTQ_TPU_PALLAS_INTERPRET", None)
+
+
+def test_int3_fuse_linears():
+    a = to_int3(_mk_layer(seed=1))
+    b = to_int3(_mk_layer(seed=2))
+    fused = fuse_linears([a, b])
+    assert isinstance(fused, Int3Linear)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (2, 640)), jnp.float32)
+    got = np.asarray(fused(x))
+    want = np.concatenate(
+        [np.asarray(a(x)), np.asarray(b(x))], axis=-1
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_int3_model_end_to_end_runs():
+    import tempfile
+
+    from vptq_tpu.models.llama import forward, init_cache
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.utils.synth_checkpoint import (
+        write_synthetic_checkpoint,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        write_synthetic_checkpoint(d, seed=11)
+        m16 = load_model(d, runtime_format="bf16")
+        m3 = load_model(d, runtime_format="int3")
+        tokens = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+        c16 = init_cache(m16.cfg, 1, 16)
+        c3 = init_cache(m3.cfg, 1, 16)
+        l16, _ = forward(m16, tokens, c16)
+        l3, _ = forward(m3, tokens, c3)
+        a, b = np.asarray(l16), np.asarray(l3)
+        # plumbing check: loads, runs, correlates (int3-RTN noise on
+        # a tiny random model compounds hard; fidelity is per-layer
+        # in test_int3_reencode_error_bound + the calibrated path)
+        cos = np.sum(a * b) / (
+            np.linalg.norm(a) * np.linalg.norm(b) + 1e-9
+        )
+        assert cos > 0.5, cos
+
+
+def test_gptq_int3_beats_rtn_on_correlated_inputs():
+    from vptq_tpu.quant.gptq import (
+        dequant_groups,
+        gptq_quantize,
+        group_spans,
+        output_error_ratio,
+    )
+
+    rng = np.random.default_rng(2)
+    out_f, in_f, n = 128, 512, 1024
+    z = rng.standard_normal((n, in_f // 4)).astype(np.float32)
+    x = z @ rng.standard_normal((in_f // 4, in_f)).astype(np.float32)
+    h = (x.T @ x).astype(np.float64)
+    w = (rng.standard_normal((out_f, in_f)) * 0.02).astype(np.float32)
+
+    q_rtn, s_rtn = quantize_int3(w)
+    w_rtn = (
+        q_rtn.reshape(out_f, -1, 128).astype(np.float32)
+        * s_rtn[:, :, None]
+    ).reshape(out_f, in_f)
+    e_rtn = output_error_ratio(w, w_rtn, h)
+
+    q, s = gptq_quantize(w, h, bits=3)
+    assert q.min() >= -4 and q.max() <= 3
+    w_hat = dequant_groups(q, s, group_spans(in_f, 128))
+    e = output_error_ratio(w, w_hat, h)
+    assert e < e_rtn / 2.0, (e, e_rtn)
+
+
+def test_int3_budget_70b_two_chips():
+    """The point of the format: 70B in ~26 GiB -> 2 v5e chips."""
+    from vptq_tpu.models.llama import ModelConfig
+    from vptq_tpu.tools.plan import GEOMETRIES
+    from vptq_tpu.utils import memory as hbm
+
+    cfg = ModelConfig(
+        **{
+            **dict(tie_word_embeddings=False, model_type="llama"),
+            **GEOMETRIES["llama2-70b"],
+        }
+    )
+    est = hbm.estimate_model_bytes(cfg, "int3")
+    kv = hbm.kv_cache_bytes(cfg, 1, 2048)
+    per_chip = (est["total"] + kv) / 2
+    assert per_chip < 0.9 * 16 * hbm.GiB, per_chip / hbm.GiB

@@ -65,13 +65,20 @@ def runtime_weight(lin) -> Optional[np.ndarray]:
     import jax
 
     from vptq_tpu.layers.dense import DenseLinear
-    from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
+    from vptq_tpu.layers.runtime import (
+        Int3Linear,
+        Int4Linear,
+        Int8Linear,
+        int3_weight,
+    )
     from vptq_tpu.ops.packing import unpack_int4
 
     if lin is None:
         return None
     if isinstance(lin, VQLinear):
         return _exact_weight(lin)
+    if isinstance(lin, Int3Linear):
+        return int3_weight(lin)
     if isinstance(lin, DenseLinear):
         return np.asarray(jax.device_get(lin.weight), np.float32)
     if isinstance(lin, Int8Linear):
@@ -95,7 +102,11 @@ def runtime_weight(lin) -> Optional[np.ndarray]:
 
 def _fmt_name(lin) -> str:
     from vptq_tpu.layers.dense import DenseLinear
-    from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
+    from vptq_tpu.layers.runtime import (
+        Int3Linear,
+        Int4Linear,
+        Int8Linear,
+    )
 
     if isinstance(lin, VQLinear):
         return "codebook"
@@ -103,6 +114,8 @@ def _fmt_name(lin) -> str:
         return "int8"
     if isinstance(lin, Int4Linear):
         return "int4"
+    if isinstance(lin, Int3Linear):
+        return "int3"
     if isinstance(lin, DenseLinear):
         return "bf16"
     return type(lin).__name__

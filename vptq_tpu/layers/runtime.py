@@ -29,9 +29,15 @@ from vptq_tpu.layers.dense import DenseLinear
 from vptq_tpu.layers.vqlinear import VQLinear
 from vptq_tpu.ops.dequant import dequant_weight
 
-__all__ = ["Int8Linear", "Int4Linear", "to_runtime", "RUNTIME_FORMATS"]
+__all__ = [
+    "Int8Linear",
+    "Int4Linear",
+    "Int3Linear",
+    "to_runtime",
+    "RUNTIME_FORMATS",
+]
 
-RUNTIME_FORMATS = ("int8", "int4", "bf16", "codebook")
+RUNTIME_FORMATS = ("int8", "int4", "int3", "bf16", "codebook")
 
 # Scale-group width along in_features; the w8 kernel's in_tile must
 # divide it (scales apply on the accumulator). Chosen per layer: the
@@ -206,7 +212,93 @@ def _unpack_int4_jnp(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=1)
 
 
-RuntimeLinear = Union[VQLinear, DenseLinear, Int8Linear, Int4Linear]
+@struct.dataclass
+class Int3Linear:
+    """Plane-packed int3 weights + per-(row, 128-in-col) bf16 scales.
+
+    The sub-4-bit memory-floor format (~3.1 bits/weight): 25% less
+    decode HBM traffic than ``int4`` at ~20% weight-RMS re-encode
+    error (RTN; pair with the calibrated encoder / mixed precision
+    for fidelity — quant/calibrate.py). 70B fits 2 v5e chips
+    (tools/plan.py). Plane layout contract:
+    :func:`vptq_tpu.ops.packing.pack_int3`. NOTE ``scales`` is
+    out-MAJOR — (out, in_p/128) — unlike Int4Linear (see w3_matmul).
+    """
+
+    wq2: jnp.ndarray  # (out, in_padded // 4) int8 — 2-bit plane
+    wq1: jnp.ndarray  # (out, in_padded // 8) int8 — sign plane
+    scales: jnp.ndarray  # (out, in_padded // 128) bf16
+    bias: Optional[jnp.ndarray] = None
+
+    @property
+    def in_padded(self) -> int:
+        return self.wq2.shape[1] * 4
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from vptq_tpu.ops.pallas_gemm import w3_matmul
+        from vptq_tpu.ops.quant_matmul import use_pallas
+
+        in_padded = self.in_padded
+        if x.shape[-1] != in_padded:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, in_padded - x.shape[-1])]
+            x = jnp.pad(x, pad)
+
+        if use_pallas():
+            # v5e sweep (examples/autotune_w3.py): out_tile 2048 /
+            # in_tile 1024 lead on every 7B decode shape (~200 GB/s,
+            # VPU-bound — see w3_matmul)
+            out_f = self.wq2.shape[0]
+            ot = (
+                2048 if out_f >= 2048
+                else (1024 if out_f >= 1024
+                      else (512 if out_f >= 512 else 256))
+            )
+            out = w3_matmul(
+                x, self.wq2, self.wq1, self.scales,
+                out_tile=ot, in_tile=1024,
+            )
+        else:
+            q = _unpack_int3_jnp(self.wq2, self.wq1)
+            w = (
+                q.astype(jnp.float32).reshape(
+                    self.wq2.shape[0], -1, 128
+                )
+                * self.scales.astype(jnp.float32)[:, :, None]
+            ).reshape(self.wq2.shape[0], in_padded)
+            out = jnp.dot(
+                x.astype(jnp.float32), w.T,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        if self.bias is not None:
+            out = out + self.bias.astype(out.dtype)
+        return out
+
+    @property
+    def out_features(self) -> int:
+        return self.wq2.shape[0]
+
+
+def _unpack_int3_jnp(wq2: jnp.ndarray, wq1: jnp.ndarray) -> jnp.ndarray:
+    """jnp mirror of packing.unpack_int3 (non-pallas fallback path)."""
+    b2 = wq2.astype(jnp.int32)
+    b1 = wq1.astype(jnp.int32)
+    two = jnp.concatenate(
+        [
+            jnp.bitwise_and(jnp.right_shift(b2, 2 * q), 3)
+            for q in range(4)
+        ],
+        axis=1,
+    )
+    sign = jnp.concatenate(
+        [jnp.bitwise_and(jnp.right_shift(b1, m), 1) for m in range(8)],
+        axis=1,
+    )
+    return (two - 4 * sign).astype(jnp.int8)
+
+
+RuntimeLinear = Union[
+    VQLinear, DenseLinear, Int8Linear, Int4Linear, Int3Linear
+]
 
 
 def _exact_weight(layer: VQLinear, dtype=jnp.float32) -> "np.ndarray":
@@ -495,6 +587,94 @@ def dense_to_int4(layer: DenseLinear) -> Int4Linear:
     return _encode_int4(w, layer.bias)
 
 
+def int3_weight(layer: Int3Linear) -> "np.ndarray":
+    """Exact f32 dequant of the plane-packed int3 layout (host)."""
+    import jax
+    import numpy as np
+
+    from vptq_tpu.ops.packing import unpack_int3
+
+    q = unpack_int3(
+        np.asarray(jax.device_get(layer.wq2)),
+        np.asarray(jax.device_get(layer.wq1)),
+    )
+    s = np.asarray(jax.device_get(layer.scales), np.float32)
+    return (
+        q.astype(np.float32).reshape(q.shape[0], -1, 128)
+        * s[:, :, None]
+    ).reshape(q.shape)
+
+
+def _encode_int3(
+    w, bias, shards: int = 1, pad_to: int = 2048
+) -> Int3Linear:
+    """f32 (out, in) numpy weight → plane-packed Int3Linear.
+
+    ``shards > 1``: blocked layout for shard_map TP (per-shard
+    padding to 1024 — the kernel's W3_BLOCK minimum)."""
+    import numpy as np
+
+    from vptq_tpu.ops.packing import pack_int3, quantize_int3
+
+    if shards > 1:
+        pad = (-w.shape[1]) % shards
+        if pad:
+            w = np.pad(w, ((0, 0), (0, pad)))
+        blk = w.shape[1] // shards
+        parts = [
+            _encode_int3(
+                w[:, s * blk: (s + 1) * blk], None, pad_to=1024
+            )
+            for s in range(shards)
+        ]
+        return Int3Linear(
+            wq2=np.concatenate([p.wq2 for p in parts], axis=1),
+            wq1=np.concatenate([p.wq1 for p in parts], axis=1),
+            scales=np.concatenate([p.scales for p in parts], axis=1),
+            bias=bias,
+        )
+
+    pad = (-w.shape[1]) % pad_to
+    if pad:
+        w = np.pad(w, ((0, 0), (0, pad)))
+    q, scale = quantize_int3(w)
+    wq2, wq1 = pack_int3(q)
+    return Int3Linear(
+        wq2=wq2,
+        wq1=wq1,
+        scales=np.ascontiguousarray(scale).astype(jnp.bfloat16),
+        bias=bias,
+    )
+
+
+def to_int3(layer: VQLinear) -> Int3Linear:
+    """Exact dequant → per-(row, 128-col) int3 plane re-encode."""
+    return _encode_int3(_exact_weight(layer), layer.bias)
+
+
+def int3_from_q(q, scales, bias=None, pad_to: int = 2048) -> Int3Linear:
+    """Build an Int3Linear from precomputed (q, scales) — calibrated
+    encoder entry point (quant/gptq.py bits=3). ``q``: (out, in) int8
+    in [-4, 3], ``in % 128 == 0``; ``scales``: (out, in // 128) f32."""
+    import numpy as np
+
+    from vptq_tpu.ops.packing import pack_int3
+
+    pad = (-q.shape[1]) % pad_to
+    if pad:
+        q = np.pad(q, ((0, 0), (0, pad)))
+        scales = np.pad(
+            scales, ((0, 0), (0, pad // 128)), constant_values=1.0
+        )
+    wq2, wq1 = pack_int3(np.ascontiguousarray(q))
+    return Int3Linear(
+        wq2=wq2,
+        wq1=wq1,
+        scales=np.ascontiguousarray(scales).astype(jnp.bfloat16),
+        bias=bias,
+    )
+
+
 def linear_exact_weight(layer, logical_in: Optional[int] = None):
     """Exact f32 host dequant of ANY linear, sliced to the logical
     in_features (drops encoder zero-padding)."""
@@ -507,6 +687,8 @@ def linear_exact_weight(layer, logical_in: Optional[int] = None):
         w = int8_weight(layer)
     elif isinstance(layer, Int4Linear):
         w = int4_weight(layer)
+    elif isinstance(layer, Int3Linear):
+        w = int3_weight(layer)
     else:  # DenseLinear
         w = np.asarray(jax.device_get(layer.weight), np.float32)
     if logical_in is not None:
@@ -578,6 +760,12 @@ def to_runtime(layer, fmt: str, row_shards: int = 1):
                 _exact_weight(layer), layer.bias, shards=row_shards
             )
         return to_int4(layer)
+    if fmt == "int3":
+        if row_shards > 1:
+            return _encode_int3(
+                _exact_weight(layer), layer.bias, shards=row_shards
+            )
+        return to_int3(layer)
     return to_bf16(layer)
 
 
@@ -655,6 +843,32 @@ def fuse_linears(linears):
         return Int4Linear(
             wq=xp.concatenate([m.wq for m in linears], axis=0),
             scales=xp.concatenate([m.scales for m in linears], axis=1),
+            bias=bias,
+        )
+    if isinstance(first, Int3Linear):
+        # every array of Int3Linear is row-major over out_features,
+        # so fusion is plain row concatenation
+        if any(m.wq2.shape[1] != first.wq2.shape[1] for m in linears):
+            return None
+        xp = _xp_of(*(m.wq2 for m in linears))
+        biases = [m.bias for m in linears]
+        if any(b is not None for b in biases):
+            bias = xp.concatenate(
+                [
+                    b
+                    if b is not None
+                    else xp.zeros(m.out_features, jnp.float32)
+                    for b, m in zip(biases, linears)
+                ]
+            )
+        else:
+            bias = None
+        return Int3Linear(
+            wq2=xp.concatenate([m.wq2 for m in linears], axis=0),
+            wq1=xp.concatenate([m.wq1 for m in linears], axis=0),
+            scales=xp.concatenate(
+                [m.scales for m in linears], axis=0
+            ),
             bias=bias,
         )
     if isinstance(first, DenseLinear):

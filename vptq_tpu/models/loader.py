@@ -338,9 +338,9 @@ def load_model(
     tokens for the calibrated formats). Single-chip only for now
     (``mesh`` must be None on the calibrated path).
     """
-    calibrated = runtime_format == "int4-mixed" or (
+    calibrated = runtime_format in ("int4-mixed", "int3-mixed") or (
         calibration is not None
-        and runtime_format in ("int4", "int8")
+        and runtime_format in ("int3", "int4", "int8")
     )
     if calibrated:
         if mesh is not None:

@@ -28,6 +28,9 @@ __all__ = [
     "quantize_int4",
     "pack_int4",
     "unpack_int4",
+    "quantize_int3",
+    "pack_int3",
+    "unpack_int3",
 ]
 
 
@@ -219,6 +222,96 @@ def pack_int4(q: np.ndarray) -> np.ndarray:
     lo = q[:, :half].astype(np.uint8) & np.uint8(0xF)
     hi = q[:, half:].astype(np.uint8) & np.uint8(0xF)
     return ((hi << np.uint8(4)) | lo).view(np.int8)
+
+
+def quantize_int3(
+    w: np.ndarray, group: int = INT4_GROUP, optimize: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-(row, group) int3 quantization into [-4, 3].
+
+    The 3-bit two's-complement range is asymmetric; the scale grid
+    search (same shrink ladder as int4) absorbs the asymmetry by
+    minimizing round-trip MSE per group. Returns (q int8 in [-4, 3],
+    scales bf16-rounded f32 (out, in // group)).
+    """
+    out_f, in_f = w.shape
+    if in_f % group:
+        raise ValueError(f"in_features {in_f} % group {group} != 0")
+    g = w.reshape(out_f, in_f // group, group).astype(np.float32)
+    absmax = np.abs(g).max(axis=-1)
+    base = np.where(absmax > 0, absmax / 3.5, 1.0).astype(np.float32)
+    scale = _bf16_rne(base)
+    q = np.clip(np.round(g / scale[:, :, None]), -4, 3)
+    if optimize:
+        best_err = ((g - q * scale[:, :, None]) ** 2).sum(axis=-1)
+        for f in INT4_SCALE_CANDIDATES[1:] + (1.15, 1.3):
+            s = _bf16_rne(base * np.float32(f))
+            qc = np.clip(np.round(g / s[:, :, None]), -4, 3)
+            err = ((g - qc * s[:, :, None]) ** 2).sum(axis=-1)
+            better = err < best_err
+            best_err = np.where(better, err, best_err)
+            scale = np.where(better, s, scale)
+            q = np.where(better[:, :, None], qc, q)
+    return q.astype(np.int8).reshape(out_f, in_f), scale
+
+
+# int3 plane layout: GLOBAL quarter/octant split (the pack_int4
+# split-halves principle) — every kernel extraction is a whole-vector
+# shift, no lane shuffles
+W3_BLOCK = 1024  # minimum padded width (kernel in_tile granule)
+
+
+def pack_int3(q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack int3 values ([-4, 3]) into the w3_matmul plane layout.
+
+    Returns ``(plane2, plane1)``:
+
+      * ``plane2`` (out, in/4): byte ``k`` holds the LOW TWO bits of
+        natural columns ``k + q*(in/4)`` (quarter q) at bits
+        (2q, 2q+1);
+      * ``plane1`` (out, in/8): byte ``k`` holds the SIGN (top) bit
+        of columns ``k + m*(in/8)`` (octant m) at bit ``m``.
+
+    Reconstruction ``v = two - 4*sign`` runs as two sub-dot families
+    in the kernel: ``two`` by shift+mask, ``-sign`` by
+    shift-to-top + arithmetic shift (0/-1, no mask), with the 4x
+    folded into the sign-dot's scale rows. Measured on v5e this
+    output-side-scale design sustains ~190-200 GB/s of plane traffic
+    (VPU-bound at ~6 i32 ops/weight — see ARCHITECTURE.md; a
+    merged-K variant with weight-side scales measured 30% slower).
+    """
+    out_f, in_f = q.shape
+    if in_f % W3_BLOCK:
+        raise ValueError(
+            f"in_features must be a multiple of {W3_BLOCK}"
+        )
+    u = (q.astype(np.int16) & 0x7).astype(np.uint8)  # two's compl.
+    two = u & 0x3
+    sign = (u >> 2) & 0x1
+    quart = in_f // 4
+    oct_ = in_f // 8
+    plane2 = np.zeros((out_f, quart), np.uint8)
+    for qq in range(4):
+        plane2 |= two[:, qq * quart: (qq + 1) * quart] << (2 * qq)
+    plane1 = np.zeros((out_f, oct_), np.uint8)
+    for m in range(8):
+        plane1 |= sign[:, m * oct_: (m + 1) * oct_] << m
+    return plane2.view(np.int8), plane1.view(np.int8)
+
+
+def unpack_int3(
+    plane2: np.ndarray, plane1: np.ndarray
+) -> np.ndarray:
+    """Inverse of :func:`pack_int3` (host-side oracle)."""
+    p2 = plane2.view(np.uint8)
+    p1 = plane1.view(np.uint8)
+    two = np.concatenate(
+        [(p2 >> (2 * qq)) & 0x3 for qq in range(4)], axis=1
+    ).astype(np.int8)
+    sign = np.concatenate(
+        [(p1 >> m) & 0x1 for m in range(8)], axis=1
+    ).astype(np.int8)
+    return (two - 4 * sign).astype(np.int8)
 
 
 def unpack_int4(packed: np.ndarray) -> np.ndarray:

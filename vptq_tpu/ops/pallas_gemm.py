@@ -37,6 +37,7 @@ def _interpret() -> bool:
 
 __all__ = [
     "w8_matmul",
+    "w3_matmul",
     "w8_matmul_expert",
     "w8_matmul_pairs",
     "w4_matmul",
@@ -976,6 +977,239 @@ def bf16_matmul(
         ),
         interpret=_interpret(),
     )(x2.astype(w.dtype), w)
+
+    out = out[:tokens, :out_features]
+    return out.reshape(*lead_shape, out_features).astype(out_dtype)
+
+
+def _w3_kernel(*refs, n_in_tiles: int, s_q: int, s_o: int):
+    """One int3 (out_tile, in_tile) grid step.
+
+    Plane layout (packing.pack_int3): ``plane2`` bytes carry 4
+    quarter-split low-2-bit fields, ``plane1`` bytes 8 octant-split
+    sign bits. The value decomposes as ``v = two - 4*sign``, computed
+    as TWO families of K=128 sub-dots with the scale applied on the
+    partial accumulator (the w4 structure):
+
+      * quarter q: ``two = (w2 >> 2q) & 3`` (shift+mask, exact in
+        bf16) against the quarter's x slice, scaled by its 128-col
+        scale rows;
+      * octant m: ``negsign = (w1 << (31-m)) >> 31`` (arithmetic
+        shift to/from the top bit -> 0 or -1, no mask) against the
+        octant's x slice, scaled by 4x the scale rows — the -4*sign
+        term with the 4 folded into the scale for free.
+
+    Measured on v5e: ~190-200 GB/s of plane traffic — VPU-bound at
+    ~6 i32 ops/weight (extraction of >2 fields per byte forces
+    shift+mask pairs; the int4 kernel needs only one single-shift per
+    nibble half). A merged-K=1024 variant with weight-side scales
+    measured 30% SLOWER (in-kernel concat + (O_T,1) broadcasts cost
+    more than the extra sub-dots), so this structure stands.
+
+    refs: xq0..xq3 (T, I/4), xo0..xo7 (T, I/8), w2 (O, I/4) int8,
+    w1 (O, I/8) int8, sq (4*s_q, O) bf16 (this step's quarter scale
+    rows, regrouped), so (8*s_o, O) bf16 (octant rows), o_ref (T, O),
+    acc_ref (T, O) f32.
+    """
+    xq = refs[0:4]
+    xo = refs[4:12]
+    w2_ref, w1_ref = refs[12], refs[13]
+    sq_ref, so_ref = refs[14], refs[15]
+    o_ref, acc_ref = refs[16], refs[17]
+    j = pl.program_id(2)
+
+    w2 = w2_ref[:].astype(jnp.int32)
+    w1 = w1_ref[:].astype(jnp.int32)
+
+    dims = (((1,), (1,)), ((), ()))
+    part = jnp.zeros(acc_ref.shape, jnp.float32)
+    for q in range(4):
+        two = jnp.bitwise_and(
+            jnp.right_shift(w2, 2 * q), jnp.int32(3)
+        ).astype(jnp.bfloat16)
+        s_rows = sq_ref[q * s_q: (q + 1) * s_q, :]
+        for sub in range(s_q):
+            c0, c1 = sub * W4_GROUP, (sub + 1) * W4_GROUP
+            p = jax.lax.dot_general(
+                xq[q][:, c0:c1], two[:, c0:c1],
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            part = part + p * s_rows[sub, :].astype(
+                jnp.float32
+            )[None, :]
+    for m in range(8):
+        negsign = jnp.right_shift(
+            jnp.left_shift(w1, 31 - m), 31
+        ).astype(jnp.bfloat16)  # 0 or -1
+        s_rows = so_ref[m * s_o: (m + 1) * s_o, :]
+        for sub in range(s_o):
+            c0, c1 = sub * W4_GROUP, (sub + 1) * W4_GROUP
+            p = jax.lax.dot_general(
+                xo[m][:, c0:c1], negsign[:, c0:c1],
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            part = part + p * (
+                4.0 * s_rows[sub, :].astype(jnp.float32)
+            )[None, :]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(j == n_in_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_tile", "in_tile", "out_dtype")
+)
+def w3_matmul(
+    x: jnp.ndarray,  # (..., IN) bf16/f32, IN == in_p (padded)
+    wq2: jnp.ndarray,  # (OUT, IN // 4) int8 — 2-bit plane
+    wq1: jnp.ndarray,  # (OUT, IN // 8) int8 — sign plane
+    scales: jnp.ndarray,  # (OUT, IN // 128) bf16 (out-major layout)
+    *,
+    out_tile: int = 2048,
+    in_tile: int = 1024,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Fused int3 dequant-matmul over the pack_int3 plane layout.
+
+    ``in_tile`` counts natural input columns; must divide IN and be a
+    multiple of 1024 (so every octant sub-slice covers whole 128-col
+    scale groups). The sub-4-bit memory-floor format: ~3.1
+    bits/weight of HBM (70B -> 2 chips, tools/plan.py); decode runs
+    VPU-bound at ~190-200 GB/s of plane traffic (see _w3_kernel) —
+    a CAPACITY point, not a speed one (int4 is ~3x faster per chip).
+
+    Default tiles from the v5e sweep (examples/autotune_w3.py):
+    out_tile 2048 / in_tile 1024 lead on every 7B decode shape.
+    """
+    out_features = wq2.shape[0]
+    in_features = wq2.shape[1] * 4
+    if wq1.shape != (out_features, in_features // 8):
+        raise ValueError(f"plane1 shape {wq1.shape} mismatch")
+    if x.shape[-1] != in_features:
+        raise ValueError(
+            f"x last dim {x.shape[-1]} != padded in_features {in_features}"
+        )
+    if in_features % in_tile:
+        raise ValueError(
+            f"in_features {in_features} % in_tile {in_tile} != 0"
+        )
+    if in_tile % (8 * W4_GROUP):
+        raise ValueError(f"in_tile {in_tile} % {8 * W4_GROUP} != 0")
+    if scales.shape != (out_features, in_features // W4_GROUP):
+        raise ValueError(f"scales shape {scales.shape} mismatch")
+
+    lead_shape = x.shape[:-1]
+    tokens = 1
+    for d in lead_shape:
+        tokens *= d
+    x2 = x.reshape(tokens, in_features)
+    t_tile = min(_round_up(max(tokens, 1), 16), 512)
+    t_pad = _round_up(max(tokens, 1), t_tile)
+    if t_pad != tokens:
+        x2 = jnp.pad(x2, ((0, t_pad - tokens), (0, 0)))
+
+    o_pad = _round_up(out_features, out_tile)
+    n_t = t_pad // t_tile
+    n_out = o_pad // out_tile
+    n_in = in_features // in_tile
+    quart = in_tile // 4
+    octw = in_tile // 8
+    s_q = quart // W4_GROUP
+    s_o = octw // W4_GROUP
+    out_dtype = out_dtype or x.dtype
+
+    # x is passed 12 times with different index maps (4 quarter + 8
+    # octant views of the global split layout) — zero-copy. The
+    # scales are regrouped OUTSIDE the kernel so each step's quarter
+    # rows (4*s_q >= 8 — Pallas' sublane-tiling floor) and octant
+    # rows (8*s_o >= 8) are contiguous blocks.
+    def xq_spec(q):
+        return pl.BlockSpec(
+            (t_tile, quart), lambda t, i, j, q=q: (t, q * n_in + j),
+            memory_space=pltpu.VMEM,
+        )
+
+    def xo_spec(m):
+        return pl.BlockSpec(
+            (t_tile, octw), lambda t, i, j, m=m: (t, m * n_in + j),
+            memory_space=pltpu.VMEM,
+        )
+
+    sb = scales.astype(jnp.bfloat16).T  # (S, OUT) canonical rows
+    sq_all = (
+        sb.reshape(4, n_in, s_q, out_features)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_in * 4 * s_q, out_features)
+    )
+    so_all = (
+        sb.reshape(8, n_in, s_o, out_features)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_in * 8 * s_o, out_features)
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w3_kernel, n_in_tiles=n_in, s_q=s_q, s_o=s_o
+        ),
+        grid=(n_t, n_out, n_in),
+        in_specs=(
+            [xq_spec(q) for q in range(4)]
+            + [xo_spec(m) for m in range(8)]
+            + [
+                pl.BlockSpec(  # 2-bit plane
+                    (out_tile, quart), lambda t, i, j: (i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(  # sign plane
+                    (out_tile, octw), lambda t, i, j: (i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(  # quarter scale rows of step j
+                    (4 * s_q, out_tile), lambda t, i, j: (j, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(  # octant scale rows of step j
+                    (8 * s_o, out_tile), lambda t, i, j: (j, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+        ),
+        out_specs=pl.BlockSpec(
+            (t_tile, out_tile), lambda t, i, j: (t, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_pad, out_features), out_dtype),
+        scratch_shapes=[pltpu.VMEM((t_tile, out_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * t_pad * o_pad * in_features,
+            bytes_accessed=out_features * in_features * 3 // 8
+            + out_features * (in_features // W4_GROUP) * 2
+            + t_pad * in_features * 2
+            + t_pad * out_features * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        *([x2.astype(jnp.bfloat16)] * 12),
+        wq2,
+        wq1,
+        sq_all,
+        so_all,
+    )
 
     out = out[:tokens, :out_features]
     return out.reshape(*lead_shape, out_features).astype(out_dtype)

@@ -121,7 +121,28 @@ def _shard_linear(layer, mesh: Mesh, col_parallel: bool):
     if isinstance(layer, VQLinear):
         return _shard_vq(layer, mesh, col_parallel)
 
-    from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
+    from vptq_tpu.layers.runtime import (
+        Int3Linear,
+        Int4Linear,
+        Int8Linear,
+    )
+
+    if isinstance(layer, Int3Linear):
+        # planes are (out, in/4|8); scales are out-MAJOR (out, S)
+        if col_parallel:
+            p_spec, s_spec, bias_spec = (
+                P("model", None), P("model", None), P("model"),
+            )
+        else:
+            p_spec, s_spec, bias_spec = (
+                P(None, "model"), P(None, "model"), P(),
+            )
+        return Int3Linear(
+            wq2=_put(layer.wq2, mesh, p_spec),
+            wq1=_put(layer.wq1, mesh, p_spec),
+            scales=_put(layer.scales, mesh, s_spec),
+            bias=_put(layer.bias, mesh, bias_spec),
+        )
 
     if isinstance(layer, Int8Linear):
         if col_parallel:

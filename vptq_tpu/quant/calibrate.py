@@ -246,11 +246,14 @@ def _exact_f32(lin) -> np.ndarray:
     return _exact_weight(lin)
 
 
-def _rtn_sensitivity(w: np.ndarray, diag_h: np.ndarray) -> float:
+def _rtn_sensitivity(
+    w: np.ndarray, diag_h: np.ndarray, bits: int = 4
+) -> float:
     """Cheap per-layer sensitivity: diag-Hessian-weighted relative
-    output error of the plain int4 RTN re-encode. O(out*in) — used by
-    the ranking pass of ``int8_fraction`` (no Cholesky, H discarded)."""
-    q, s = gptq_quantize(w, None, bits=4)
+    output error of the plain base-bits RTN re-encode. O(out*in) —
+    used by the ranking pass of ``int8_fraction`` (no Cholesky, H
+    discarded)."""
+    q, s = gptq_quantize(w, None, bits=bits)
     spans = group_spans(w.shape[1], 128)
     dw = dequant_groups(q, s, spans) - w
     d = diag_h.astype(np.float64)
@@ -270,6 +273,7 @@ def _quantize_site(
     """GPTQ-encode all linears of one site; returns
     ([(path, new_lin)], site_report)."""
     from vptq_tpu.layers.runtime import (
+        int3_from_q,
         int4_from_q,
         int8_from_q,
         pick_group,
@@ -282,7 +286,7 @@ def _quantize_site(
         errs = []
         for path, w, bias in weights:
             in_f = w.shape[1]
-            if bits == 4:
+            if bits in (3, 4):
                 pad = (-in_f) % 128
                 group = 128
             else:
@@ -301,26 +305,29 @@ def _quantize_site(
             spans = group_spans(wp.shape[1], group)
             w_hat = dequant_groups(q, scales, spans)[:, :in_f]
             errs.append(output_error_ratio(w, w_hat, hess))
-            if bits == 4:
+            if bits == 3:
+                out.append((path, int3_from_q(q, scales, bias)))
+            elif bits == 4:
                 out.append((path, int4_from_q(q, scales, bias)))
             else:
                 out.append((path, int8_from_q(q, scales, bias)))
         return out, errs
 
-    target_bits = 8 if (fmt == "int8" or force_int8) else 4
+    base_bits = {"int8": 8, "int3": 3, "int3-mixed": 3}.get(fmt, 4)
+    target_bits = 8 if force_int8 else base_bits
     encoded, errs = encode(target_bits)
     site_fmt = f"int{target_bits}"
-    err4 = max(errs) if target_bits == 4 else None
+    err_base = max(errs) if target_bits != 8 else None
     if (
-        target_bits == 4
+        target_bits != 8
         and int8_threshold is not None
-        and err4 > int8_threshold
+        and err_base > int8_threshold
     ):
         encoded, errs = encode(8)
         site_fmt = "int8"
     rep = {"format": site_fmt, "err_ratio": max(errs)}
-    if err4 is not None:
-        rep["err_ratio_int4"] = err4
+    if err_base is not None:
+        rep[f"err_ratio_int{base_bits}"] = err_base
     return encoded, rep
 
 
@@ -399,10 +406,10 @@ def quantize_model_calibrated(
         rope_frequencies,
     )
 
-    if fmt not in ("int4", "int4-mixed", "int8"):
+    if fmt not in ("int4", "int4-mixed", "int3", "int3-mixed", "int8"):
         raise ValueError(f"unsupported calibrated format {fmt!r}")
     if (
-        fmt == "int4-mixed"
+        fmt in ("int4-mixed", "int3-mixed")
         and int8_threshold is None
         and int8_fraction is None
     ):
@@ -444,7 +451,10 @@ def quantize_model_calibrated(
                 ]
                 diag_h = np.diag(h.h)
                 sens[f"layers.{i}.{site}"] = max(
-                    _rtn_sensitivity(_exact_f32(lin), diag_h)
+                    _rtn_sensitivity(
+                        _exact_f32(lin), diag_h,
+                        bits=3 if fmt.startswith("int3") else 4,
+                    )
                     for lin in vq
                 )
         n8 = int(round(len(sens) * int8_fraction))
@@ -528,8 +538,10 @@ def quantize_model_calibrated(
 
     n8 = sum(1 for r in report.values() if r.get("format") == "int8")
     n4 = sum(1 for r in report.values() if r.get("format") == "int4")
+    n3 = sum(1 for r in report.values() if r.get("format") == "int3")
     report["summary"] = {
-        "sites": n4 + n8,
+        "sites": n3 + n4 + n8,
+        "int3_sites": n3,
         "int4_sites": n4,
         "int8_sites": n8,
         "calib_tokens": int(batch * seq),

@@ -53,9 +53,19 @@ def _bf16_rne(x: np.ndarray) -> np.ndarray:
     return x.astype(ml_dtypes.bfloat16).astype(np.float32)
 
 
+# (qmin, qmax, scale-base divisor) per bit width; int3 is the
+# asymmetric two's-complement range of the plane format
+# (layers/runtime.py Int3Linear)
+_BIT_RANGES = {
+    3: (-4, 3, 3.5),
+    4: (-7, 7, 7.0),
+    8: (-127, 127, 127.0),
+}
+
+
 def _group_scale(
-    w_group: np.ndarray, qmax: int, bf16_scales: bool,
-    candidates: Sequence[float],
+    w_group: np.ndarray, qmin: int, qmax: int, div: float,
+    bf16_scales: bool, candidates: Sequence[float],
 ) -> np.ndarray:
     """Per-row scale for one column group of (updated) weights.
 
@@ -64,14 +74,14 @@ def _group_scale(
     feedback downstream only improves on that choice).
     """
     absmax = np.abs(w_group).max(axis=1)
-    base = np.where(absmax > 0, absmax / qmax, 1.0).astype(np.float32)
+    base = np.where(absmax > 0, absmax / div, 1.0).astype(np.float32)
     rnd = _bf16_rne if bf16_scales else lambda v: v
     scale = rnd(base)
-    q = np.clip(np.round(w_group / scale[:, None]), -qmax, qmax)
+    q = np.clip(np.round(w_group / scale[:, None]), qmin, qmax)
     best = ((w_group - q * scale[:, None]) ** 2).sum(axis=1)
     for f in candidates[1:]:
         s = rnd(base * np.float32(f))
-        qc = np.clip(np.round(w_group / s[:, None]), -qmax, qmax)
+        qc = np.clip(np.round(w_group / s[:, None]), qmin, qmax)
         err = ((w_group - qc * s[:, None]) ** 2).sum(axis=1)
         better = err < best
         best = np.where(better, err, best)
@@ -119,15 +129,16 @@ def gptq_quantize(
 
     ``hessian=None`` degrades to plain RTN with the grid-searched
     scales (no feedback term exists without input correlations).
-    ``bits=4`` stores bf16-rounded scales (the Int4Linear layout);
+    ``bits=3``/``bits=4`` store bf16-rounded scales (the Int3Linear /
+    Int4Linear layouts; int3 clips to the asymmetric [-4, 3] range);
     ``bits=8`` keeps f32 scales (Int8Linear).
     ``block``: blocked-TP shard width — groups are restarted at each
     block boundary (see :func:`group_spans`).
     """
-    if bits not in (4, 8):
-        raise ValueError(f"bits must be 4 or 8, not {bits}")
-    qmax = 7 if bits == 4 else 127
-    bf16_scales = bits == 4
+    if bits not in _BIT_RANGES:
+        raise ValueError(f"bits must be one of {set(_BIT_RANGES)}")
+    qmin, qmax, div = _BIT_RANGES[bits]
+    bf16_scales = bits != 8
     out_f, in_f = w.shape
     spans = group_spans(in_f, group, block)
 
@@ -138,11 +149,12 @@ def gptq_quantize(
         wf = w.astype(np.float32)
         for gi, (g0, g1) in enumerate(spans):
             s = _group_scale(
-                wf[:, g0:g1], qmax, bf16_scales, scale_candidates
+                wf[:, g0:g1], qmin, qmax, div, bf16_scales,
+                scale_candidates,
             )
             scales[:, gi] = s
             q[:, g0:g1] = np.clip(
-                np.round(wf[:, g0:g1] / s[:, None]), -qmax, qmax
+                np.round(wf[:, g0:g1] / s[:, None]), qmin, qmax
             ).astype(np.int8)
         return q, scales
 
@@ -158,14 +170,15 @@ def gptq_quantize(
 
     for gi, (g0, g1) in enumerate(spans):
         s = _group_scale(
-            wrk[:, g0:g1], qmax, bf16_scales, scale_candidates
+            wrk[:, g0:g1], qmin, qmax, div, bf16_scales,
+            scale_candidates,
         )
         scales[:, gi] = s
         inv_s = 1.0 / s
         err_blk = np.empty((out_f, g1 - g0), np.float32)
         for j in range(g0, g1):
             wc = wrk[:, j]
-            qc = np.clip(np.round(wc * inv_s), -qmax, qmax)
+            qc = np.clip(np.round(wc * inv_s), qmin, qmax)
             q[:, j] = qc.astype(np.int8)
             err = (wc - qc * s) / udiag[j]
             err_blk[:, j - g0] = err

@@ -39,10 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--runtime-format", type=str, default="int8",
-        choices=("int8", "int4", "int4-mixed", "bf16", "codebook"),
+        choices=(
+            "int8", "int4", "int4-mixed", "int3", "bf16", "codebook",
+        ),
         help="runtime weight format (see ARCHITECTURE.md); "
         "int4-mixed = calibrated GPTQ int4 with the measured-most-"
-        "sensitive sites kept int8 (single-chip only)",
+        "sensitive sites kept int8 (single-chip only); int3 = "
+        "sub-4-bit memory-floor plane format (single-chip/GSPMD)",
     )
     p.add_argument(
         "--calibration-tokens", type=int, default=0,
@@ -95,6 +98,11 @@ def _load(args):
             raise SystemExit(
                 "calibrated formats are single-chip for now — "
                 "drop --tp or use --runtime-format int8/int4"
+            )
+        if args.runtime_format == "int3":
+            raise SystemExit(
+                "int3 under shard_map TP is not wired yet — drop "
+                "--tp or use --runtime-format int8/int4"
             )
         if len(jax.devices()) < args.tp:
             raise SystemExit(

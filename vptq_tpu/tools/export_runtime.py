@@ -35,7 +35,11 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
     import jax
 
     from vptq_tpu.layers.dense import DenseLinear
-    from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
+    from vptq_tpu.layers.runtime import (
+        Int3Linear,
+        Int4Linear,
+        Int8Linear,
+    )
 
     out: Dict[str, np.ndarray] = {}
 
@@ -55,6 +59,11 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
         elif isinstance(lin, Int4Linear):
             put(f"{prefix}.wq4", lin.wq)
             put(f"{prefix}.scales4", lin.scales)
+            put(f"{prefix}.bias", lin.bias)
+        elif isinstance(lin, Int3Linear):
+            put(f"{prefix}.wq3_2", lin.wq2)
+            put(f"{prefix}.wq3_1", lin.wq1)
+            put(f"{prefix}.scales3", lin.scales)
             put(f"{prefix}.bias", lin.bias)
         elif isinstance(lin, DenseLinear):
             put(f"{prefix}.weight", lin.weight)
@@ -172,7 +181,11 @@ def load_runtime_model(runtime_dir: str):
     import ml_dtypes
 
     from vptq_tpu.layers.dense import DenseLinear
-    from vptq_tpu.layers.runtime import Int4Linear, Int8Linear
+    from vptq_tpu.layers.runtime import (
+        Int3Linear,
+        Int4Linear,
+        Int8Linear,
+    )
     from vptq_tpu.models.llama import (
         Attention,
         Block,
@@ -215,6 +228,13 @@ def load_runtime_model(runtime_dir: str):
             return Int4Linear(
                 wq=state[f"{prefix}.wq4"],
                 scales=state[f"{prefix}.scales4"],
+                bias=state.get(f"{prefix}.bias"),
+            )
+        if f"{prefix}.wq3_2" in state:
+            return Int3Linear(
+                wq2=state[f"{prefix}.wq3_2"],
+                wq1=state[f"{prefix}.wq3_1"],
+                scales=state[f"{prefix}.scales3"],
                 bias=state.get(f"{prefix}.bias"),
             )
         if f"{prefix}.weight" in state:

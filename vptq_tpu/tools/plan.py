@@ -190,11 +190,34 @@ def _abs_linear(
             scales=_abs((in_p // 128, out_f), jnp.bfloat16),
             bias=None,
         )
+    if fmt == "int3":
+        from vptq_tpu.layers.runtime import Int3Linear
+
+        if row_shards > 1:
+            blk = (in_f + row_shards - 1) // row_shards
+            lip = blk + ((-blk) % 1024)
+            return Int3Linear(
+                wq2=_abs((out_f, row_shards * lip // 4), jnp.int8),
+                wq1=_abs((out_f, row_shards * lip // 8), jnp.int8),
+                scales=_abs(
+                    (out_f, row_shards * (lip // 128)), jnp.bfloat16
+                ),
+                bias=None,
+            )
+        in_p = in_f + ((-in_f) % 2048)
+        return Int3Linear(
+            wq2=_abs((out_f, in_p // 4), jnp.int8),
+            wq1=_abs((out_f, in_p // 8), jnp.int8),
+            scales=_abs((out_f, in_p // 128), jnp.bfloat16),
+            bias=None,
+        )
     if fmt == "bf16":
         return DenseLinear(
             weight=_abs((out_f, in_f), jnp.bfloat16), bias=None
         )
-    raise ValueError(f"plan supports int8/int4/bf16, not {fmt!r}")
+    raise ValueError(
+        f"plan supports int8/int4/int3/bf16/codebook, not {fmt!r}"
+    )
 
 
 def abstract_runtime_model(
@@ -527,6 +550,11 @@ def validate_plan(
             "codebook format has no shard_map-TP path — plan with "
             "parallel='gspmd' (XLA partitions the gathers natively)"
         )
+    if fmt == "int3" and parallel == "tp":
+        raise ValueError(
+            "int3 under shard_map TP is not wired yet — plan with "
+            "parallel='gspmd'"
+        )
     if parallel == "tp":
         from vptq_tpu.parallel.tp import forward_tp, tp_validate
 
@@ -568,7 +596,7 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--format", default="int4",
-        choices=("int8", "int4", "bf16", "codebook"),
+        choices=("int8", "int4", "int3", "bf16", "codebook"),
     )
     ap.add_argument(
         "--vq", default="v8-k65536-256",
@@ -600,9 +628,9 @@ def main(argv=None) -> int:
         }
     )
     vq = parse_vq(args.vq)
-    if args.format == "codebook" and args.parallel == "tp":
-        # codebook's only multi-chip story is GSPMD
-        print("# codebook plans under GSPMD (no shard_map-TP path)")
+    if args.format in ("codebook", "int3") and args.parallel == "tp":
+        # these formats' multi-chip story is GSPMD (for now)
+        print(f"# {args.format} plans under GSPMD")
         args.parallel = "gspmd"
     tp_shards = (
         args.chips
@@ -616,7 +644,7 @@ def main(argv=None) -> int:
     table = hbm.budget_table(
         cfg, hbm_bytes=int(args.hbm_gb * hbm.GiB),
         batch=args.batch, max_seq=args.max_seq,
-        formats=("codebook", "int4", "int8", "bf16"),
+        formats=("codebook", "int3", "int4", "int8", "bf16"),
         default_vq=vq,
     )
     print(f"# {args.geometry} @ {args.format}, {args.chips} chip(s)")

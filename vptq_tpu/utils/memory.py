@@ -70,6 +70,17 @@ def _int4_bytes(out_f: int, in_f: int, row_shards: int = 1) -> int:
     return out_f * in_p // 2 + 2 * out_f * (in_p // 128)
 
 
+def _int3_bytes(out_f: int, in_f: int, row_shards: int = 1) -> int:
+    if row_shards > 1:
+        blk = (in_f + row_shards - 1) // row_shards
+        in_p = blk + ((-blk) % 1024)  # per-shard pad (W3_BLOCK)
+        return row_shards * (
+            out_f * in_p * 3 // 8 + 2 * out_f * (in_p // 128)
+        )
+    in_p = in_f + ((-in_f) % 2048)
+    return out_f * in_p * 3 // 8 + 2 * out_f * (in_p // 128)
+
+
 def _codebook_bytes(cfg) -> int:
     """Exact byte count of a normalized VQLinear (loader layout).
 
@@ -115,6 +126,8 @@ def linear_runtime_bytes(
         return _int8_bytes(out_f, in_f, row_shards)
     if fmt == "int4":
         return _int4_bytes(out_f, in_f, row_shards)
+    if fmt == "int3":
+        return _int3_bytes(out_f, in_f, row_shards)
     if fmt == "bf16":
         return 2 * out_f * in_f
     if fmt == "codebook":
