@@ -249,8 +249,10 @@ def test_pipelined_dispatch_before_consume(tmp_path):
 
     def spy_process():
         # record which chunk is about to be consumed: chunks are
-        # processed strictly in dispatch order
-        done = sum(1 for e in events if e[0] == "p")
+        # processed strictly in dispatch order. The FIRST consumed
+        # entry is the admission's 1-token pseudo chunk (the
+        # sync-free first token), not a decode chunk — label it -1.
+        done = sum(1 for e in events if e[0] == "p") - 1
         process()
         events.append(("p", done))
 

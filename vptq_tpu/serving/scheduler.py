@@ -261,7 +261,11 @@ class Scheduler:
         self.finished: Dict[int, Request] = {}
         self._next_id = 0
         self._chunk_idx = 0
-        self._admitting: Optional[_Admission] = None
+        # concurrent in-flight admissions (one per claimed free slot):
+        # each advances ONE prefill bucket per step, so slot occupancy
+        # ramps in ~1 chunk instead of one admission per chunk
+        # (half-empty decode chunks cost full compute)
+        self._admissions: List[_Admission] = []
         # device-carried last token per slot: the decode chain's input
         # stays on device across chunks (never synced for dispatch)
         self._tok_dev = jnp.zeros((max_batch,), jnp.int32)
@@ -392,12 +396,34 @@ class Scheduler:
         return None
 
     def _start_admission(self) -> None:
-        """Claim a free slot for the next pending request (if any)."""
-        if self._admitting is not None or not self.pending:
-            return
-        slot = self._free_slot()
-        if slot is None:
-            return
+        """Claim free slots for pending requests (one admission per
+        free slot; all advance concurrently, a bucket per step)."""
+        while self.pending:
+            claimed = {a.slot for a in self._admissions}
+            slot = next(
+                (
+                    s
+                    for s in range(self.max_batch)
+                    if self.slots[s] is None and s not in claimed
+                ),
+                None,
+            )
+            if slot is None:
+                return
+            if self.prefix_cache is not None and self._admissions:
+                # an in-flight admission sharing this prompt's first
+                # block hasn't inserted its prefix yet — admitting now
+                # would miss the reuse; keep FIFO order and wait
+                bs = self.prefix_cache.block_size
+                head = list(self.pending[0].prompt[:bs])
+                if any(
+                    list(a.req.prompt[:bs]) == head
+                    for a in self._admissions
+                ):
+                    return
+            self._admit_one(slot)
+
+    def _admit_one(self, slot: int) -> None:
         req = self.pending.popleft()
         adm = _Admission(req=req, slot=slot)
         if self.prefix_cache is not None:
@@ -425,19 +451,22 @@ class Scheduler:
                     lengths=jnp.full((1,), done, jnp.int32),
                 )
                 adm.done = done
-        self._admitting = adm
+        self._admissions.append(adm)
 
     def _advance_admission(self) -> None:
-        """Run ONE prefill bucket of the in-flight admission.
+        """Run ONE prefill bucket of every in-flight admission.
 
-        Finishes the admission (samples the first token, installs the
-        slot) when the whole prompt has been prefilled. Bounded work
-        per call keeps decode latency of active slots independent of
-        admitted prompt lengths.
+        Finishes an admission (samples the first token, installs the
+        slot) when its whole prompt has been prefilled. Bounded work
+        per admission per call keeps decode latency of active slots
+        independent of admitted prompt lengths.
         """
-        adm = self._admitting
-        if adm is None:
-            return
+        for adm in list(self._admissions):
+            if self._advance_one(adm):
+                self._admissions.remove(adm)
+
+    def _advance_one(self, adm: _Admission) -> bool:
+        """Advance one bucket; True when the admission completed."""
         req = adm.req
         plen = len(req.prompt)
         max_bucket = self.prompt_buckets[-1]
@@ -458,7 +487,7 @@ class Scheduler:
         )
         adm.done += adm.last_len
         if adm.done < plen:
-            return  # more buckets to go; decode runs in between
+            return False  # more buckets to go; decode runs in between
 
         # ---- prefill complete: install the request into its slot
         slot = adm.slot
@@ -472,13 +501,11 @@ class Scheduler:
         first_logits = adm.logits[0, adm.last_len - 1]
         if req.temperature > 0:
             key = jax.random.PRNGKey(req.seed)
-            first = int(
-                jax.random.categorical(
-                    key, first_logits / req.temperature
-                )
-            )
+            first = jax.random.categorical(
+                key, first_logits / req.temperature
+            ).astype(jnp.int32)
         else:
-            first = int(jnp.argmax(first_logits))
+            first = jnp.argmax(first_logits).astype(jnp.int32)
         self.cache = self._insert_slot(
             self.cache,
             adm.cache1.k,
@@ -486,18 +513,30 @@ class Scheduler:
             jnp.asarray(slot, jnp.int32),
             jnp.asarray(plen, jnp.int32),
         )
-        req.output.append(first)
-        if req.stream_callback:
-            req.stream_callback(req.req_id, first)
         self.slots[slot] = req
         self._tok_dev = self._tok_dev.at[slot].set(first)
         self.temps[slot] = req.temperature
-        self._admitting = None
-        if (
-            req.eos_token_id is not None
-            and first == req.eos_token_id
-        ) or req.max_new_tokens <= 1:
-            self._retire(slot)
+        # The first token stays a DEVICE value: a host `int()` here
+        # would stall on the prefill AND every decode chunk queued
+        # before it — measured ~120 ms pipeline stall per admission
+        # through the TPU tunnel. Enqueue it as a 1-token pseudo
+        # chunk instead; _process_oldest consumes it with the same
+        # depth lag as decode chunks (streaming order per request is
+        # preserved: this entry precedes the slot's decode chunks in
+        # the deque). EOS/budget retirement for the first token
+        # happens at consumption — until then the slot may decode
+        # speculatively, which the normal discard machinery handles.
+        pseudo_slots: List[Optional[Request]] = [None] * self.max_batch
+        pseudo_slots[slot] = req
+        self._inflight.append(
+            _InflightChunk(
+                toks=jnp.zeros(
+                    (1, self.max_batch), jnp.int32
+                ).at[0, slot].set(first),
+                slots=pseudo_slots,
+            )
+        )
+        return True
 
     def _retire(self, slot: int) -> None:
         req = self.slots[slot]
@@ -607,7 +646,7 @@ class Scheduler:
         while (
             self.pending
             or self.num_active
-            or self._admitting
+            or self._admissions
             or self._inflight
         ):
             self.step()
