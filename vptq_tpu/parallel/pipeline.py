@@ -7,10 +7,11 @@ model_base.py:183-194 — placement, not pipelined execution). This is
 the TPU equivalent: each contiguous group of decoder blocks is one
 STAGE compiled for one device; activations move stage-to-stage with
 an async ``device_put`` (ICI), exactly one activations-sized
-transfer per boundary per step and no collectives at all. (Stages
-are single devices; combine with TP by using the shard_map path
-instead when latency matters — PP's niche is capacity over slow
-links.)
+transfer per boundary per step and no collectives at all.
+:class:`TPPipelineRunner` composes the axes: each stage spans a
+Megatron-TP sub-mesh (parallel/tp.py placement), so a DCN-connected
+deployment runs TP inside each ICI group (latency axis) and PP
+across groups (capacity axis).
 
 When to use which parallelism:
 
@@ -48,7 +49,7 @@ from vptq_tpu.models.llama import (
 from vptq_tpu.models.llama import Block  # noqa: F401  (re-export)
 from flax import struct
 
-__all__ = ["PipelineRunner", "pp_stage_of"]
+__all__ = ["PipelineRunner", "TPPipelineRunner", "pp_stage_of"]
 
 
 def pp_stage_of(layer_idx: int, n_layers: int, n_stages: int) -> int:
@@ -196,19 +197,29 @@ class PipelineRunner:
                 )
             )
 
+    def _to_stage(self, x, s: int):
+        """Move activations/tokens onto stage ``s``'s device(s)."""
+        return jax.device_put(x, self.devices[s])
+
+    def _run_stage(self, s: int, x, cache, first, last, fresh):
+        """One stage's forward (overridden by TPPipelineRunner)."""
+        return _stage_step(
+            self.stages[s], x, cache, dtype=self.dtype,
+            first=first, last=last, fresh=fresh,
+        )
+
     def forward(self, tokens: jnp.ndarray, fresh: bool = False):
         """One decode/prefill step across all stages; returns logits
         (the per-stage KV caches advance in place)."""
         n = len(self.stages)
-        x = jax.device_put(tokens, self.devices[0])
+        x = self._to_stage(tokens, 0)
         for s in range(n):
-            out, self.caches[s] = _stage_step(
-                self.stages[s], x, self.caches[s],
-                dtype=self.dtype,
+            out, self.caches[s] = self._run_stage(
+                s, x, self.caches[s],
                 first=(s == 0), last=(s == n - 1), fresh=fresh,
             )
             if s < n - 1:
-                x = jax.device_put(out, self.devices[s + 1])
+                x = self._to_stage(out, s + 1)
             else:
                 return out
 
@@ -262,15 +273,11 @@ class PipelineRunner:
                 i = tick - s  # microbatch index at stage s
                 if not (0 <= i < m):
                     continue
-                if s == 0:
-                    x = jax.device_put(
-                        token_chunks[i], self.devices[0]
-                    )
-                else:
-                    x = jax.device_put(acts[i], self.devices[s])
-                out, self.mb_caches[s][i] = _stage_step(
-                    self.stages[s], x, self.mb_caches[s][i],
-                    dtype=self.dtype,
+                x = self._to_stage(
+                    token_chunks[i] if s == 0 else acts[i], s
+                )
+                out, self.mb_caches[s][i] = self._run_stage(
+                    s, x, self.mb_caches[s][i],
                     first=(s == 0), last=(s == n - 1),
                     fresh=fresh,
                 )
@@ -279,3 +286,217 @@ class PipelineRunner:
                 else:
                     acts[i] = out
         return outs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "specs", "mesh", "axis", "dtype", "first", "last", "fresh",
+    ),
+)
+def _stage_step_tp(
+    stage: _Stage,
+    x,  # (B, S) int32 tokens on stage 0, else (B, S, H) hidden
+    cache: KVCache,
+    specs: _Stage,
+    mesh,
+    axis: str = "model",
+    dtype=jnp.bfloat16,
+    first: bool = False,
+    last: bool = False,
+    fresh: bool = False,
+):
+    """One pipeline stage running Megatron-TP over its sub-mesh.
+
+    The stage body is the shard_map'd block loop of
+    ``parallel.tp.forward_tp`` restricted to this stage's blocks:
+    activations enter/leave replicated over the TP axis (so the
+    stage-to-stage ICI/DCN hop is one replicated activations
+    transfer), weights/KV are sharded per ``specs``, and the only
+    collectives are the two per-layer psums (+ the vocab all-gather
+    on the last stage).
+    """
+    from vptq_tpu.parallel.tp import cache_tp_specs
+
+    size = int(mesh.shape[axis])
+    cache_specs = cache_tp_specs(cache, axis, None)
+
+    def local(st, xx, c):
+        cfg = st.cfg
+        if first:
+            xx = st.embed_tokens[xx].astype(dtype)
+        seq = xx.shape[1]
+        positions = (
+            c.lengths[:, None]
+            + jnp.arange(seq)[None, :].astype(jnp.int32)
+        )
+        inv_freq, rope_scale = rope_frequencies(cfg)
+        cos, sin = rope_cos_sin(positions, inv_freq, rope_scale)
+        for j, block in enumerate(st.blocks):
+            h = rms_norm(xx, block.input_layernorm, cfg.rms_norm_eps)
+            if isinstance(block.attn, MlaAttention):
+                attn_out, c = _mla_attention(
+                    j, block.attn, h, cos, sin, c, cfg,
+                    tp=(axis, size),
+                )
+            else:
+                attn_out, c = _attention(
+                    j, block.attn, h, cos, sin, c, cfg,
+                    fresh_prefill=fresh, tp=(axis, size),
+                )
+            xx = xx + attn_out
+            h = rms_norm(
+                xx, block.post_attention_layernorm, cfg.rms_norm_eps
+            )
+            xx = xx + _mlp(block.mlp, h, tp=(axis, size))
+        c = KVCache(k=c.k, v=c.v, lengths=c.lengths + seq)
+        if not last:
+            return xx, c
+        xx = rms_norm(xx, st.norm, cfg.rms_norm_eps)
+        if st.lm_head is not None:
+            logits = st.lm_head(xx)
+            logits = jax.lax.all_gather(
+                logits, axis, axis=logits.ndim - 1, tiled=True
+            )
+        else:
+            logits = jnp.dot(
+                xx,
+                st.embed_tokens.T.astype(xx.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        return logits.astype(jnp.float32), c
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(specs, P(), cache_specs),
+        out_specs=(P(), cache_specs),
+        check_vma=False,
+    )(stage, x, cache)
+
+
+class TPPipelineRunner(PipelineRunner):
+    """PP × TP: pipeline stages that each span a tensor-parallel
+    sub-mesh (VERDICT r2 item 8).
+
+    ``devices`` is consumed as ``n_stages`` contiguous groups of
+    ``tp`` chips; stage s's blocks are Megatron-placed over its own
+    ``Mesh`` (parallel/tp.py rules: fused projections row-permuted,
+    row-parallel layers block-encoded, KV sharded on heads).
+    Activations hop between stages as ONE replicated transfer — the
+    deployment shape for DCN-connected groups of ICI-connected chips:
+    TP inside each group (latency axis), PP across groups (capacity
+    axis, minimal cross-group traffic). The 1F microbatch schedule of
+    :meth:`PipelineRunner.forward_pipelined` applies unchanged.
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        devices: Sequence,
+        tp: int,
+        max_seq: int = 2048,
+        batch: int = 1,
+        dtype=jnp.bfloat16,
+        axis: str = "model",
+    ):
+        import numpy as np
+
+        from vptq_tpu.parallel.sharding import make_mesh
+        from vptq_tpu.parallel.tp import (
+            _col_parallel,
+            _put,
+            shard_cache_tp,
+            tp_place_block,
+            tp_validate,
+        )
+        from jax.sharding import PartitionSpec as P
+
+        devices = list(devices)
+        if tp < 1 or len(devices) % tp:
+            raise ValueError(
+                f"{len(devices)} devices do not split into "
+                f"tp={tp} groups"
+            )
+        n = len(devices) // tp
+        L = len(model.blocks)
+        if n < 1 or L < n:
+            raise ValueError(
+                f"{L} layers cannot spread over {n} stages"
+            )
+        tp_validate(
+            model.cfg, tp, sharded_lm_head=model.lm_head is not None
+        )
+        if model.lm_head is None and n > 1:
+            raise NotImplementedError(
+                "tied-embedding lm_head on the last TP stage: load "
+                "with an untied lm_head or use single-stage TP"
+            )
+        self.axis = axis
+        self.dtype = dtype
+        self.cfg = model.cfg
+        self.meshes = [
+            make_mesh(
+                data=1, model=tp,
+                devices=np.asarray(devices[s * tp: (s + 1) * tp]),
+            )
+            for s in range(n)
+        ]
+        self.stages: List[_Stage] = []
+        self.stage_specs: List[_Stage] = []
+        self.caches: List[KVCache] = []
+        for s in range(n):
+            mesh = self.meshes[s]
+            idxs = [
+                i for i in range(L) if pp_stage_of(i, L, n) == s
+            ]
+            placed, specs = [], []
+            for i in idxs:
+                b_p, b_s = tp_place_block(
+                    model.blocks[i], mesh, axis, model.cfg
+                )
+                placed.append(b_p)
+                specs.append(b_s)
+            embed = embed_s = None
+            if s == 0:
+                embed = _put(model.embed_tokens, mesh, P())
+                embed_s = P()
+            norm = norm_s = lm = lm_s = None
+            if s == n - 1:
+                norm = _put(model.norm, mesh, P())
+                norm_s = P()
+                lm, lm_s = _col_parallel(model.lm_head, mesh, axis)
+            self.stages.append(
+                _Stage(
+                    blocks=tuple(placed), embed_tokens=embed,
+                    norm=norm, lm_head=lm, cfg=model.cfg,
+                )
+            )
+            self.stage_specs.append(
+                _Stage(
+                    blocks=tuple(specs), embed_tokens=embed_s,
+                    norm=norm_s, lm_head=lm_s, cfg=model.cfg,
+                )
+            )
+            full = init_cache(model.cfg, batch, max_seq, dtype)
+            stage_cache = KVCache(
+                k=full.k[: len(idxs)],
+                v=full.v[: len(idxs)],
+                lengths=full.lengths,
+            )
+            self.caches.append(shard_cache_tp(stage_cache, mesh, axis))
+
+    def _to_stage(self, x, s: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.meshes[s], P()))
+
+    def _run_stage(self, s: int, x, cache, first, last, fresh):
+        return _stage_step_tp(
+            self.stages[s], x, cache,
+            specs=self.stage_specs[s], mesh=self.meshes[s],
+            axis=self.axis, dtype=self.dtype,
+            first=first, last=last, fresh=fresh,
+        )
