@@ -190,6 +190,20 @@ def test_70b_codebook_2way_plan_compiles():
     )
 
 
+def test_int3_tp_plan_compiles_2way():
+    """int3 under shard_map TP: the blocked-plane plan compiles."""
+    from vptq_tpu.parallel.sharding import make_mesh
+
+    cfg = _cfg("llama2-7b")
+    mesh = make_mesh(
+        data=1, model=2, devices=np.asarray(jax.devices()[:2])
+    )
+    compiled = validate_plan(
+        cfg, "int3", mesh, max_seq=256, parallel="tp"
+    )
+    assert compiled.memory_analysis() is not None
+
+
 def test_codebook_plan_rejects_tp():
     from vptq_tpu.parallel.sharding import make_mesh
 

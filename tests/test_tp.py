@@ -78,7 +78,7 @@ class TestDense:
 
 
 class TestQuantized:
-    @pytest.mark.parametrize("fmt", ["int8", "int4"])
+    @pytest.mark.parametrize("fmt", ["int8", "int4", "int3"])
     def test_matches_single_device(self, tmp_path, fmt):
         model = _load(tmp_path, fmt)
         ref, tp = _run_pair(model, _mesh(2))
@@ -193,7 +193,7 @@ class TestLoaderIntegration:
         assert cos > 0.99, cos
         assert np.argmax(a[0, -1]) == np.argmax(b[0, -1])
 
-    @pytest.mark.parametrize("fmt", ["int8", "int4"])
+    @pytest.mark.parametrize("fmt", ["int8", "int4", "int3"])
     def test_tp_estimate_matches_actual(self, tmp_path, fmt):
         """utils.memory.estimate_model_bytes(tp_shards=n) predicts the
         blocked-encoding placement byte-exactly enough for budgeting."""

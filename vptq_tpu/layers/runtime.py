@@ -491,9 +491,11 @@ def _encode_int4(
     vptq_int4_quant).
 
     ``shards > 1``: blocked layout for shard_map TP — each contiguous
-    column block is encoded (and nibble-packed) independently, padded
-    to 512 per shard (the kernel's minimum tile is 256; 512 keeps the
-    MXU dots wide while wasting at most 511 columns per shard).
+    column block is encoded (and nibble-packed) independently. Shards
+    of >= 512 columns pad to 512 (keeps the local kernel's in_tile
+    wide); smaller shards pad to the kernel's 256 minimum instead —
+    at high TP degrees on narrow layers (e.g. 7B o_proj at tp=32:
+    128-column shards) the 512 pad cost 4x the bytes, 256 halves it.
     """
     import numpy as np
 
@@ -505,9 +507,10 @@ def _encode_int4(
         if pad:
             w = np.pad(w, ((0, 0), (0, pad)))
         blk = w.shape[1] // shards
+        shard_pad = 512 if blk >= 512 else 256
         parts = [
             _encode_int4(
-                w[:, s * blk: (s + 1) * blk], None, pad_to=512
+                w[:, s * blk: (s + 1) * blk], None, pad_to=shard_pad
             )
             for s in range(shards)
         ]

@@ -62,10 +62,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vptq_tpu.layers.dense import DenseLinear
 from vptq_tpu.layers.runtime import (
+    Int3Linear,
     Int4Linear,
     Int8Linear,
+    _encode_int3,
     _encode_int4,
     _encode_int8,
+    int3_weight,
     int4_weight,
     int8_weight,
 )
@@ -161,6 +164,15 @@ def _permute_out(layer, perm: np.ndarray):
             scales=_host(layer.scales)[:, perm],
             bias=None if layer.bias is None else _host(layer.bias)[perm],
         )
+    if isinstance(layer, Int3Linear):
+        # every Int3Linear array (planes + out-major scales) is
+        # row-major over out_features
+        return Int3Linear(
+            wq2=_host(layer.wq2)[perm],
+            wq1=_host(layer.wq1)[perm],
+            scales=_host(layer.scales)[perm],
+            bias=None if layer.bias is None else _host(layer.bias)[perm],
+        )
     if isinstance(layer, DenseLinear):
         return DenseLinear(
             weight=_host(layer.weight)[perm],
@@ -184,6 +196,19 @@ def _col_parallel(layer, mesh, axis, perm: Optional[np.ndarray] = None):
         )
         spec = type(layer)(
             wq=P(axis, None), scales=P(None, axis),
+            bias=None if layer.bias is None else P(axis),
+        )
+        return placed, spec
+    if isinstance(layer, Int3Linear):
+        placed = Int3Linear(
+            wq2=_put(layer.wq2, mesh, P(axis, None)),
+            wq1=_put(layer.wq1, mesh, P(axis, None)),
+            scales=_put(layer.scales, mesh, P(axis, None)),
+            bias=_put(layer.bias, mesh, P(axis)),
+        )
+        spec = Int3Linear(
+            wq2=P(axis, None), wq1=P(axis, None),
+            scales=P(axis, None),
             bias=None if layer.bias is None else P(axis),
         )
         return placed, spec
@@ -223,7 +248,9 @@ def _row_parallel(
             "supported family needs it: llama/mistral/qwen2/phi3 "
             "o_proj/down_proj are bias-free)"
         )
-    if not reencode and isinstance(layer, (Int8Linear, Int4Linear)):
+    if not reencode and isinstance(
+        layer, (Int8Linear, Int4Linear, Int3Linear)
+    ):
         blocked = layer
     elif isinstance(layer, Int8Linear):
         w = int8_weight(layer)[:, :logical_in]
@@ -231,6 +258,9 @@ def _row_parallel(
     elif isinstance(layer, Int4Linear):
         w = int4_weight(layer)[:, :logical_in]
         blocked = _encode_int4(w, None, shards=size)
+    elif isinstance(layer, Int3Linear):
+        w = int3_weight(layer)[:, :logical_in]
+        blocked = _encode_int3(w, None, shards=size)
     elif isinstance(layer, DenseLinear):
         w = _host(layer.weight)[:, :logical_in]
         pad = (-w.shape[1]) % size
@@ -247,6 +277,19 @@ def _row_parallel(
         raise NotImplementedError(
             f"shard_map TP does not support {type(layer).__name__}"
         )
+    if isinstance(blocked, Int3Linear):
+        # planes and out-major scales all shard their in axis (dim 1)
+        placed = Int3Linear(
+            wq2=_put(blocked.wq2, mesh, P(None, axis)),
+            wq1=_put(blocked.wq1, mesh, P(None, axis)),
+            scales=_put(blocked.scales, mesh, P(None, axis)),
+            bias=None,
+        )
+        spec = Int3Linear(
+            wq2=P(None, axis), wq1=P(None, axis),
+            scales=P(None, axis), bias=None,
+        )
+        return placed, spec
     placed = type(blocked)(
         wq=_put(blocked.wq, mesh, P(None, axis)),
         scales=_put(blocked.scales, mesh, P(axis, None)),
@@ -261,6 +304,8 @@ def _row_parallel(
 def _out_features(lin) -> int:
     if isinstance(lin, DenseLinear):
         return int(lin.weight.shape[0])
+    if isinstance(lin, Int3Linear):
+        return int(lin.wq2.shape[0])
     return int(lin.wq.shape[0])
 
 

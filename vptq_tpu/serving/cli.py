@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="runtime weight format (see ARCHITECTURE.md); "
         "int4-mixed = calibrated GPTQ int4 with the measured-most-"
         "sensitive sites kept int8 (single-chip only); int3 = "
-        "sub-4-bit memory-floor plane format (single-chip/GSPMD)",
+        "sub-4-bit memory-floor plane format",
     )
     p.add_argument(
         "--calibration-tokens", type=int, default=0,
@@ -98,11 +98,6 @@ def _load(args):
             raise SystemExit(
                 "calibrated formats are single-chip for now — "
                 "drop --tp or use --runtime-format int8/int4"
-            )
-        if args.runtime_format == "int3":
-            raise SystemExit(
-                "int3 under shard_map TP is not wired yet — drop "
-                "--tp or use --runtime-format int8/int4"
             )
         if len(jax.devices()) < args.tp:
             raise SystemExit(

@@ -176,7 +176,7 @@ def _abs_linear(
     if fmt == "int4":
         if row_shards > 1:
             blk = (in_f + row_shards - 1) // row_shards
-            lip = blk + ((-blk) % 512)
+            lip = blk + ((-blk) % (512 if blk >= 512 else 256))
             return Int4Linear(
                 wq=_abs((out_f, row_shards * lip // 2), jnp.int8),
                 scales=_abs(
@@ -414,11 +414,18 @@ def _tp_abstract_specs(model: Model, axis: str = "model") -> Model:
 
     from vptq_tpu.layers.dense import DenseLinear
 
+    from vptq_tpu.layers.runtime import Int3Linear
+
     def col(lin):
         if lin is None:
             return None
         if isinstance(lin, DenseLinear):
             return DenseLinear(weight=P(axis, None), bias=None)
+        if isinstance(lin, Int3Linear):
+            return Int3Linear(
+                wq2=P(axis, None), wq1=P(axis, None),
+                scales=P(axis, None), bias=None,
+            )
         return type(lin)(
             wq=P(axis, None), scales=P(None, axis), bias=None
         )
@@ -426,6 +433,11 @@ def _tp_abstract_specs(model: Model, axis: str = "model") -> Model:
     def row(lin):
         if isinstance(lin, DenseLinear):
             return DenseLinear(weight=P(None, axis), bias=None)
+        if isinstance(lin, Int3Linear):
+            return Int3Linear(
+                wq2=P(None, axis), wq1=P(None, axis),
+                scales=P(None, axis), bias=None,
+            )
         return type(lin)(
             wq=P(None, axis), scales=P(axis, None), bias=None
         )
@@ -550,11 +562,6 @@ def validate_plan(
             "codebook format has no shard_map-TP path — plan with "
             "parallel='gspmd' (XLA partitions the gathers natively)"
         )
-    if fmt == "int3" and parallel == "tp":
-        raise ValueError(
-            "int3 under shard_map TP is not wired yet — plan with "
-            "parallel='gspmd'"
-        )
     if parallel == "tp":
         from vptq_tpu.parallel.tp import forward_tp, tp_validate
 
@@ -628,9 +635,9 @@ def main(argv=None) -> int:
         }
     )
     vq = parse_vq(args.vq)
-    if args.format in ("codebook", "int3") and args.parallel == "tp":
-        # these formats' multi-chip story is GSPMD (for now)
-        print(f"# {args.format} plans under GSPMD")
+    if args.format == "codebook" and args.parallel == "tp":
+        # codebook's only multi-chip story is GSPMD
+        print("# codebook plans under GSPMD (no shard_map-TP path)")
         args.parallel = "gspmd"
     tp_shards = (
         args.chips

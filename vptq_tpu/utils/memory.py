@@ -62,7 +62,9 @@ def _int8_bytes(out_f: int, in_f: int, row_shards: int = 1) -> int:
 def _int4_bytes(out_f: int, in_f: int, row_shards: int = 1) -> int:
     if row_shards > 1:
         blk = (in_f + row_shards - 1) // row_shards
-        in_p = blk + ((-blk) % 512)  # per-shard pad (runtime)
+        # per-shard pad (runtime._encode_int4): 512, or the kernel's
+        # 256 minimum for sub-512 shards
+        in_p = blk + ((-blk) % (512 if blk >= 512 else 256))
         return row_shards * (
             out_f * in_p // 2 + 2 * out_f * (in_p // 128)
         )
