@@ -122,3 +122,19 @@ def test_from_q_roundtrip_matches_runtime_layout():
     np.testing.assert_allclose(
         got8, dequant_groups(q8, s8, group_spans(512, 512)), atol=1e-6
     )
+
+
+def test_int3_identity_matches_rtn_grid():
+    """bits=3 must use quantize_int3's full grid — including the
+    GROW candidates (1.15/1.3) the asymmetric [-4,3] range needs for
+    positive-absmax groups (review r3 finding)."""
+    from vptq_tpu.ops.packing import quantize_int3
+
+    rng = np.random.default_rng(11)
+    w = (rng.standard_normal((64, 512)) * 0.02).astype(np.float32)
+    # force positive-dominant groups: abs-max is a positive weight
+    w[:, ::7] = np.abs(w[:, ::7]) * 3.0
+    q_rtn, s_rtn = quantize_int3(w)
+    q, sc = gptq_quantize(w, None, bits=3)
+    np.testing.assert_array_equal(q, q_rtn)
+    np.testing.assert_allclose(sc, s_rtn.reshape(sc.shape))

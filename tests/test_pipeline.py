@@ -214,3 +214,28 @@ def test_tp_pp_pipelined_microbatches_and_bubble(tmp_path):
             model, jax.devices()[:8], tp=2, max_seq=16, batch=1,
             dtype=jnp.float32,
         )
+
+
+def test_tp_pp_single_stage_tied_embeddings(tmp_path):
+    """Tied-embedding models work in the supported single-stage TP
+    case (review r3 finding: lm_head=None crashed construction)."""
+    from vptq_tpu.parallel.pipeline import TPPipelineRunner
+
+    cfg = tiny_model_config(num_hidden_layers=2)  # tied embeddings
+    root = write_synthetic_checkpoint(
+        str(tmp_path / "ckpt"), cfg, seed=5
+    )
+    model = load_model(
+        str(root), dtype=jnp.float32, runtime_format="int8"
+    )
+    pp = TPPipelineRunner(
+        model, jax.devices()[:2], tp=2, max_seq=16,
+        dtype=jnp.float32,
+    )
+    tokens = jnp.asarray([[1, 7, 42]], jnp.int32)
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    ref, _ = forward(model, tokens, cache, dtype=jnp.float32)
+    got = pp.forward(tokens, fresh=True)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), atol=0.03
+    )

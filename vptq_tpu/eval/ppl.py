@@ -95,7 +95,10 @@ def main(argv=None) -> int:
     p.add_argument("--seq-len", type=int, default=4096)
     p.add_argument(
         "--runtime-format", default="int8",
-        choices=("int8", "int4", "int4-mixed", "bf16", "codebook"),
+        choices=(
+            "int8", "int4", "int4-mixed", "int3", "int3-mixed",
+            "bf16", "codebook",
+        ),
     )
     args = p.parse_args(argv)
 

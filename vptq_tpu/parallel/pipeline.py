@@ -467,7 +467,17 @@ class TPPipelineRunner(PipelineRunner):
             if s == n - 1:
                 norm = _put(model.norm, mesh, P())
                 norm_s = P()
-                lm, lm_s = _col_parallel(model.lm_head, mesh, axis)
+                if model.lm_head is not None:
+                    lm, lm_s = _col_parallel(
+                        model.lm_head, mesh, axis
+                    )
+                else:
+                    # tied embeddings (single-stage only — the n>1
+                    # guard above): logits via the replicated embed,
+                    # which the s==0 branch already placed
+                    if embed is None:
+                        embed = _put(model.embed_tokens, mesh, P())
+                        embed_s = P()
             self.stages.append(
                 _Stage(
                     blocks=tuple(placed), embed_tokens=embed,

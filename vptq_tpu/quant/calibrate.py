@@ -54,12 +54,6 @@ __all__ = [
     "quantize_model_calibrated",
 ]
 
-# default measured-sensitivity threshold for "int4-mixed" when the
-# caller opts into threshold mode: a site whose calibrated int4
-# re-encode moves more than this fraction of output energy
-# (tr(dW H dW^T)/tr(W H W^T)) is kept int8.
-MIXED_INT8_THRESHOLD = 0.01
-
 # default int8 site budget for "int4-mixed" (ranking-pass mode): the
 # top-sensitivity 3/8 of the sites goes int8 (~5.5 bits/weight
 # average). Measured on the mid-size synthetic model
@@ -94,18 +88,31 @@ def synthetic_calibration_tokens(
 
 
 class _Hess:
-    """Running input second moment for one quantization site."""
+    """Running input second moment for one quantization site.
 
-    def __init__(self, n: int):
-        self.h = np.zeros((n, n), np.float32)
+    ``diag_only`` accumulates just the per-column sum of squares —
+    O(tokens*in) instead of O(tokens*in^2) and an (in,) buffer
+    instead of (in,in): the ranking pass reads only the diagonal.
+    """
+
+    def __init__(self, n: int, diag_only: bool = False):
+        self.h = None if diag_only else np.zeros((n, n), np.float32)
+        self.d = np.zeros((n,), np.float32) if diag_only else None
         self.count = 0
 
     def update(self, x: jnp.ndarray):
         x2 = np.asarray(
             jax.device_get(x.reshape(-1, x.shape[-1])), np.float32
         )
-        self.h += x2.T @ x2
+        if self.d is not None:
+            self.d += (x2 * x2).sum(axis=0)
+        else:
+            self.h += x2.T @ x2
         self.count += x2.shape[0]
+
+    @property
+    def diag(self) -> np.ndarray:
+        return self.d if self.d is not None else np.diag(self.h)
 
 
 class _Rec:
@@ -170,12 +177,14 @@ def _block_slots(block) -> List[Tuple[str, str]]:
     slots: List[Tuple[str, str]] = []
     attn = block.attn
     if isinstance(attn, MlaAttention):
+        # q/q_a and kv_a consume the SAME block input — one shared
+        # site avoids accumulating the hidden-size^2 Hessian twice
         if attn.q_proj is not None:
-            slots.append(("attn.q_proj", "q"))
+            slots.append(("attn.q_proj", "attn_in"))
         else:
-            slots.append(("attn.q_a_proj", "q_a"))
+            slots.append(("attn.q_a_proj", "attn_in"))
             slots.append(("attn.q_b_proj", "q_b"))
-        slots.append(("attn.kv_a_proj", "kv_a"))
+        slots.append(("attn.kv_a_proj", "attn_in"))
         slots.append(("attn.o_proj", "o"))
     else:
         if attn.qkv_proj is not None:
@@ -340,7 +349,7 @@ def _site_map(block) -> Dict[str, List[str]]:
 
 
 def _capture_block(
-    i, block, sites, x, cos, sin, cache, cfg
+    i, block, sites, x, cos, sin, cache, cfg, diag_only: bool = False
 ) -> Tuple[jnp.ndarray, object, Dict[str, _Hess]]:
     """Run one block eagerly with exact f32 dense mirrors and one
     input recorder per site that has a compressed member. Returns
@@ -352,7 +361,7 @@ def _capture_block(
         rec_h = None
         if vq:
             in_f = _get(block, vq[0]).cfg.in_features
-            rec_h = hessians[site] = _Hess(in_f)
+            rec_h = hessians[site] = _Hess(in_f, diag_only=diag_only)
         for j, p in enumerate(paths):
             lin = _get(block, p)
             if isinstance(lin, VQLinear):
@@ -441,7 +450,8 @@ def quantize_model_calibrated(
         for i, block in enumerate(model.blocks):
             sites = _site_map(block)
             x, cache, hessians = _capture_block(
-                i, block, sites, x, cos, sin, cache, cfg
+                i, block, sites, x, cos, sin, cache, cfg,
+                diag_only=True,
             )
             for site, h in hessians.items():
                 vq = [
@@ -449,7 +459,7 @@ def quantize_model_calibrated(
                     for p in sites[site]
                     if isinstance(_get(block, p), VQLinear)
                 ]
-                diag_h = np.diag(h.h)
+                diag_h = h.diag
                 sens[f"layers.{i}.{site}"] = max(
                     _rtn_sensitivity(
                         _exact_f32(lin), diag_h,

@@ -115,9 +115,7 @@ def gptq_quantize(
     group: int = 128,
     block: Optional[int] = None,
     damp: float = 0.01,
-    scale_candidates: Sequence[float] = tuple(
-        1.0 - 0.05 * i for i in range(8)
-    ),
+    scale_candidates: Optional[Sequence[float]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Quantize ``w`` to symmetric group-scaled ints with error feedback.
 
@@ -138,6 +136,14 @@ def gptq_quantize(
     if bits not in _BIT_RANGES:
         raise ValueError(f"bits must be one of {set(_BIT_RANGES)}")
     qmin, qmax, div = _BIT_RANGES[bits]
+    if scale_candidates is None:
+        scale_candidates = tuple(1.0 - 0.05 * i for i in range(8))
+        if bits == 3:
+            # the asymmetric [-4, 3] range needs GROW candidates too:
+            # a positive-absmax group at base absmax/3.5 rounds its
+            # extreme to 4 and clips — scale*1.15/1.3 encodes it
+            # exactly (mirrors packing.quantize_int3's grid)
+            scale_candidates = scale_candidates + (1.15, 1.3)
     bf16_scales = bits != 8
     out_f, in_f = w.shape
     spans = group_spans(in_f, group, block)

@@ -17,18 +17,24 @@ Design:
   * host syncs only between chunks: stream tokens, retire EOS/finished
     slots, admit pending requests;
   * admission is CHUNKED and interleaved with decode: each ``step()``
-    advances an in-flight admission by at most one prefill bucket,
-    then decodes the active slots — a long prompt being admitted never
-    stalls running requests for more than one bucket of prefill
-    (no head-of-line blocking);
+    advances each in-flight admission by at most one prefill bucket —
+    at most ``admit_parallel`` (default 4) admissions progress per
+    step, bounding the prefill work between decode chunks while
+    letting empty slots fill in ~2 chunks instead of one request per
+    chunk (half-empty decode chunks cost full compute);
   * decode chunks are PIPELINED ``depth`` deep: chunk N+1 is
     dispatched from device-carried state (the previous chunk's last
     tokens and cache, both still futures) BEFORE the host consumes
     chunk N's tokens, so the device never idles on the host↔device
     round trip (JAX async dispatch; the host processes results one
-    chunk behind, against a slot snapshot taken at dispatch). The
-    token stream is bit-identical to depth=1 — the device-side op
-    chain is unchanged; only host consumption lags. The cost is up to
+    chunk behind, against a slot snapshot taken at dispatch). Greedy
+    (temperature=0) token streams are bit-identical across depths —
+    the device-side op chain is unchanged; only host consumption
+    lags. Sampled streams are reproducible for a fixed depth and
+    admission order, but may differ ACROSS depths when slots contend:
+    decode keys derive from the global dispatch counter, and a slot
+    freed one chunk later shifts which keys a queued request sees.
+    The cost is up to
     ``(depth-1)·chunk`` speculative tokens decoded after a request's
     EOS (discarded at processing; cache growth is clamped at max_seq
     device-side, and a retired slot's rows are reset on reuse).
@@ -231,6 +237,7 @@ class Scheduler:
         prefix_cache=None,  # serving.prefix_cache.PrefixCache
         mesh=None,  # shard_map TP: model from load_model(parallel="tp")
         depth: int = 2,  # decode chunks in flight (1 = synchronous)
+        admit_parallel: int = 4,  # admissions advanced per step
     ):
         self.model = model
         self.max_batch = max_batch
@@ -257,6 +264,7 @@ class Scheduler:
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.temps = np.zeros(max_batch, dtype=np.float32)
         self.depth = max(1, int(depth))
+        self.admit_parallel = max(1, int(admit_parallel))
         self.pending: deque[Request] = deque()
         self.finished: Dict[int, Request] = {}
         self._next_id = 0
@@ -461,7 +469,11 @@ class Scheduler:
         per admission per call keeps decode latency of active slots
         independent of admitted prompt lengths.
         """
-        for adm in list(self._admissions):
+        # bound prefill work between decode chunks: advance at most
+        # admit_parallel admissions (FIFO) per step, so one active
+        # slot's inter-token latency never pays more than
+        # admit_parallel prefill buckets
+        for adm in list(self._admissions)[: self.admit_parallel]:
             if self._advance_one(adm):
                 self._admissions.remove(adm)
 

@@ -303,8 +303,12 @@ def main(argv=None) -> int:
     )
     p.add_argument("--tokenizer", default="")
     p.add_argument("--port", type=int, default=7860)
-    p.add_argument("--runtime-format", default="int8",
-                   choices=("int8", "int4", "bf16", "codebook"))
+    p.add_argument(
+        "--runtime-format", default="int8",
+        choices=(
+            "int8", "int4", "int4-mixed", "int3", "bf16", "codebook",
+        ),
+    )
     p.add_argument("--max-new-tokens", type=int, default=256)
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--max-seq", type=int, default=2048)
