@@ -335,20 +335,27 @@ def load_model(
     measured-most-sensitive ``int8_fraction`` of sites in int8.
     ``calibration`` is a (B, S) int32 token array, an int (number of
     synthetic calibration tokens), or None (default 4096 synthetic
-    tokens for the calibrated formats). Single-chip only for now
-    (``mesh`` must be None on the calibrated path).
+    tokens for the calibrated formats). With ``mesh`` +
+    ``parallel="tp"`` the calibrated model is Megatron-placed:
+    row-parallel sites are encoded blocked with PER-SHARD GPTQ, so
+    the calibrated quality survives TP placement.
     """
     calibrated = runtime_format in ("int4-mixed", "int3-mixed") or (
         calibration is not None
         and runtime_format in ("int3", "int4", "int8")
     )
     if calibrated:
+        tp_mesh = None
         if mesh is not None:
-            raise NotImplementedError(
-                "calibrated formats with a mesh: calibrate on one "
-                "host first (mesh=None), then place with "
-                "parallel.tp.tp_place_model / sharding.shard_block"
-            )
+            if parallel == "gspmd":
+                raise NotImplementedError(
+                    "calibrated formats under GSPMD: calibrate with "
+                    "mesh=None, then place with sharding.shard_block"
+                )
+            # shard_map TP: calibrate single-host with row-parallel
+            # sites encoded BLOCKED (per-shard GPTQ), then place
+            # (tp_place_model validates cfg x TP-size divisibility)
+            tp_mesh = mesh
         from vptq_tpu.quant.calibrate import (
             quantize_model_calibrated,
             synthetic_calibration_tokens,
@@ -373,7 +380,18 @@ def load_model(
             fmt=runtime_format,
             int8_fraction=int8_fraction,
             fuse=fuse,
+            tp_shards=(
+                int(tp_mesh.shape["model"]) if tp_mesh is not None else 1
+            ),
+            upload=tp_mesh is None,
         )
+        if tp_mesh is not None:
+            from vptq_tpu.parallel.tp import tp_place_model
+
+            model, _specs = tp_place_model(
+                model, tp_mesh, reencode_rows=False
+            )
+            return model
         if quantize_lm_head and isinstance(model.lm_head, DenseLinear):
             from vptq_tpu.layers.runtime import dense_to_int8
 

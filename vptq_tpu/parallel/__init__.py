@@ -1,4 +1,4 @@
-from vptq_tpu.parallel.pipeline import PipelineRunner
+from vptq_tpu.parallel.pipeline import PipelineRunner, TPPipelineRunner
 from vptq_tpu.parallel.ring import ring_attention
 from vptq_tpu.parallel.sharding import (
     make_mesh,
@@ -24,4 +24,5 @@ __all__ = [
     "shard_cache_tp",
     "ring_attention",
     "PipelineRunner",
+    "TPPipelineRunner",
 ]

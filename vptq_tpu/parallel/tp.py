@@ -581,14 +581,17 @@ def tp_place_block(
 
 
 def tp_place_model(
-    model: Model, mesh: Mesh, axis: str = "model"
+    model: Model, mesh: Mesh, axis: str = "model",
+    reencode_rows: bool = True,
 ) -> Tuple[Model, Model]:
     """Megatron-TP placement of a fused runtime model onto ``mesh``.
 
     Returns ``(model_tp, specs)``. The placed pytree is ONLY valid
     through :func:`forward_tp` (row-parallel layers use the blocked
     encoding; fused projections are row-permuted) — do not call the
-    plain ``forward`` on it.
+    plain ``forward`` on it. ``reencode_rows=False`` when row-parallel
+    layers are ALREADY blocked (e.g. the calibrated encoder with
+    ``tp_shards``).
     """
     cfg = model.cfg
     size = mesh.shape[axis]
@@ -597,7 +600,7 @@ def tp_place_model(
     blocks, block_specs = [], []
     for block in model.blocks:
         block_p, block_s = tp_place_block(
-            block, mesh, axis, cfg, reencode_rows=True
+            block, mesh, axis, cfg, reencode_rows=reencode_rows
         )
         blocks.append(block_p)
         block_specs.append(block_s)

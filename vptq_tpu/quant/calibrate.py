@@ -271,16 +271,8 @@ def _rtn_sensitivity(
     return num / den if den > 0 else 0.0
 
 
-def _quantize_site(
-    members: List[Tuple[str, VQLinear]],
-    hess: Optional[np.ndarray],
-    fmt: str,
-    int8_threshold: Optional[float],
-    damp: float,
-    force_int8: bool = False,
-):
-    """GPTQ-encode all linears of one site; returns
-    ([(path, new_lin)], site_report)."""
+def _gptq_layer(bits, w, bias, hess, damp):
+    """GPTQ-encode ONE weight matrix; returns (layer, w_hat)."""
     from vptq_tpu.layers.runtime import (
         int3_from_q,
         int4_from_q,
@@ -288,38 +280,148 @@ def _quantize_site(
         pick_group,
     )
 
+    in_f = w.shape[1]
+    if bits in (3, 4):
+        pad = (-in_f) % 128
+        group = 128
+    else:
+        group = pick_group(in_f)
+        pad = (-in_f) % group
+    wp = np.pad(w, ((0, 0), (0, pad))) if pad else w
+    hp = hess
+    if hess is not None and pad:
+        hp = np.zeros((in_f + pad, in_f + pad), hess.dtype)
+        hp[:in_f, :in_f] = hess
+    q, scales = gptq_quantize(
+        wp, hp, bits=bits, group=group, damp=damp
+    )
+    spans = group_spans(wp.shape[1], group)
+    w_hat = dequant_groups(q, scales, spans)[:, :in_f]
+    if bits == 3:
+        lin = int3_from_q(q, scales, bias)
+    elif bits == 4:
+        lin = int4_from_q(q, scales, bias)
+    else:
+        lin = int8_from_q(q, scales, bias)
+    return lin, w_hat
+
+
+def _gptq_layer_blocked(bits, w, bias, hess, damp, shards):
+    """Blocked shard_map-TP encode with PER-SHARD GPTQ.
+
+    Each contiguous column shard gets its own error-feedback pass
+    against the matching diagonal block of H (cross-shard feedback is
+    inherently unavailable — shards quantize independently by layout
+    contract, parallel/tp.py), padded exactly like the RTN blocked
+    encoders so ``tp_place_block(reencode_rows=False)`` slices it
+    directly — the calibrated quality survives TP placement instead
+    of being re-quantized RTN from its own dequant.
+    """
+    from vptq_tpu.layers.runtime import (
+        Int3Linear,
+        Int4Linear,
+        Int8Linear,
+        int3_from_q,
+        int4_from_q,
+        int8_from_q,
+        pick_group,
+    )
+
+    pad = (-w.shape[1]) % shards
+    wp = np.pad(w, ((0, 0), (0, pad))) if pad else w
+    hp = hess
+    if hess is not None and pad:
+        n = w.shape[1]
+        hp = np.zeros((n + pad, n + pad), hess.dtype)
+        hp[:n, :n] = hess
+    blk = wp.shape[1] // shards
+    parts, hats = [], []
+    for si in range(shards):
+        ws = wp[:, si * blk: (si + 1) * blk]
+        hs = (
+            None
+            if hp is None
+            else hp[si * blk: (si + 1) * blk,
+                    si * blk: (si + 1) * blk]
+        )
+        if bits == 4:
+            shard_pad = 512 if blk >= 512 else 256
+            group = 128
+        elif bits == 3:
+            shard_pad = 1024
+            group = 128
+        else:
+            group = pick_group(blk)
+            shard_pad = group
+        spad = (-blk) % shard_pad
+        wsp = np.pad(ws, ((0, 0), (0, spad))) if spad else ws
+        hsp = hs
+        if hs is not None and spad:
+            hsp = np.zeros((blk + spad, blk + spad), hs.dtype)
+            hsp[:blk, :blk] = hs
+        q, scales = gptq_quantize(
+            wsp, hsp, bits=bits, group=group, damp=damp
+        )
+        hats.append(
+            dequant_groups(
+                q, scales, group_spans(wsp.shape[1], group)
+            )[:, :blk]
+        )
+        if bits == 3:
+            parts.append(int3_from_q(q, scales, None, pad_to=shard_pad))
+        elif bits == 4:
+            parts.append(int4_from_q(q, scales, None, pad_to=shard_pad))
+        else:
+            parts.append(int8_from_q(q, scales, None))
+    w_hat = np.concatenate(hats, axis=1)[:, : w.shape[1]]
+    if bits == 3:
+        lin = Int3Linear(
+            wq2=np.concatenate([p.wq2 for p in parts], axis=1),
+            wq1=np.concatenate([p.wq1 for p in parts], axis=1),
+            scales=np.concatenate([p.scales for p in parts], axis=1),
+            bias=bias,
+        )
+    elif bits == 4:
+        lin = Int4Linear(
+            wq=np.concatenate([p.wq for p in parts], axis=1),
+            scales=np.concatenate([p.scales for p in parts], axis=0),
+            bias=bias,
+        )
+    else:
+        lin = Int8Linear(
+            wq=np.concatenate([p.wq for p in parts], axis=1),
+            scales=np.concatenate([p.scales for p in parts], axis=0),
+            bias=bias,
+        )
+    return lin, w_hat
+
+
+def _quantize_site(
+    members: List[Tuple[str, VQLinear]],
+    hess: Optional[np.ndarray],
+    fmt: str,
+    int8_threshold: Optional[float],
+    damp: float,
+    force_int8: bool = False,
+    row_shards: int = 1,
+):
+    """GPTQ-encode all linears of one site; returns
+    ([(path, new_lin)], site_report). ``row_shards > 1`` produces the
+    blocked shard_map-TP layout (per-shard GPTQ)."""
     weights = [(_p, _exact_f32(lin), lin.bias) for _p, lin in members]
 
     def encode(bits: int):
         out = []
         errs = []
         for path, w, bias in weights:
-            in_f = w.shape[1]
-            if bits in (3, 4):
-                pad = (-in_f) % 128
-                group = 128
-            else:
-                group = pick_group(in_f)
-                pad = (-in_f) % group
-            wp = np.pad(w, ((0, 0), (0, pad))) if pad else w
-            hp = hess
-            if hess is not None and pad:
-                hp = np.zeros(
-                    (in_f + pad, in_f + pad), hess.dtype
+            if row_shards > 1:
+                lin, w_hat = _gptq_layer_blocked(
+                    bits, w, bias, hess, damp, row_shards
                 )
-                hp[:in_f, :in_f] = hess
-            q, scales = gptq_quantize(
-                wp, hp, bits=bits, group=group, damp=damp
-            )
-            spans = group_spans(wp.shape[1], group)
-            w_hat = dequant_groups(q, scales, spans)[:, :in_f]
-            errs.append(output_error_ratio(w, w_hat, hess))
-            if bits == 3:
-                out.append((path, int3_from_q(q, scales, bias)))
-            elif bits == 4:
-                out.append((path, int4_from_q(q, scales, bias)))
             else:
-                out.append((path, int8_from_q(q, scales, bias)))
+                lin, w_hat = _gptq_layer(bits, w, bias, hess, damp)
+            errs.append(output_error_ratio(w, w_hat, hess))
+            out.append((path, lin))
         return out, errs
 
     base_bits = {"int8": 8, "int3": 3, "int3-mixed": 3}.get(fmt, 4)
@@ -374,6 +476,13 @@ def _capture_block(
     return x, cache, hessians
 
 
+# sites whose linears are ROW-parallel under shard_map TP (the in
+# axis shards; parallel/tp.py): attention output and the dense /
+# shared-expert down projections. Routed-expert sites ("e{k}.down")
+# are expert-sharded whole and stay unblocked.
+_ROW_PARALLEL_SITES = ("o", "down", "shared.down")
+
+
 def quantize_model_calibrated(
     model,
     tokens: Optional[np.ndarray] = None,
@@ -383,6 +492,8 @@ def quantize_model_calibrated(
     int8_fraction: Optional[float] = None,
     damp: float = 0.01,
     fuse: bool = True,
+    tp_shards: int = 1,
+    upload: bool = True,
 ) -> Tuple[object, Dict[str, dict]]:
     """Calibrated re-encode of a codebook-format model.
 
@@ -404,6 +515,12 @@ def quantize_model_calibrated(
             knob is given. Costs one extra capture pass.
         fuse: fuse q|k|v / gate|up and stack MoE experts afterwards
             (runtime.fuse_model).
+        tp_shards: encode row-parallel sites in the BLOCKED shard_map
+            TP layout with per-shard GPTQ, so
+            ``tp_place_block(reencode_rows=False)`` places the
+            calibrated encoding directly (no lossy re-quantization).
+        upload: device-put the result (False leaves host arrays for a
+            mesh placement step).
 
     Returns:
         (quantized Model on the default device, per-site report dict
@@ -506,6 +623,11 @@ def quantize_model_calibrated(
                 int8_threshold,
                 damp,
                 force_int8=key in forced_int8,
+                row_shards=(
+                    tp_shards
+                    if tp_shards > 1 and site in _ROW_PARALLEL_SITES
+                    else 1
+                ),
             )
             for path, new_lin in encoded:
                 qblock = _set(qblock, path, new_lin)
@@ -544,7 +666,8 @@ def quantize_model_calibrated(
         from vptq_tpu.layers.runtime import fuse_model
 
         out = fuse_model(out)
-    out = jax.tree.map(jnp.asarray, out)
+    if upload:
+        out = jax.tree.map(jnp.asarray, out)
 
     n8 = sum(1 for r in report.values() if r.get("format") == "int8")
     n4 = sum(1 for r in report.values() if r.get("format") == "int4")

@@ -44,8 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
         ),
         help="runtime weight format (see ARCHITECTURE.md); "
         "int4-mixed = calibrated GPTQ int4 with the measured-most-"
-        "sensitive sites kept int8 (single-chip only); int3 = "
-        "sub-4-bit memory-floor plane format",
+        "sensitive sites kept int8; int3 = sub-4-bit memory-floor "
+        "plane format",
     )
     p.add_argument(
         "--calibration-tokens", type=int, default=0,
@@ -93,11 +93,6 @@ def _load(args):
                 "which the codebook format does not support — use "
                 "--runtime-format int8/int4/bf16 (or the library-"
                 "level GSPMD path for codebook)"
-            )
-        if args.runtime_format == "int4-mixed" or args.calibration_tokens:
-            raise SystemExit(
-                "calibrated formats are single-chip for now — "
-                "drop --tp or use --runtime-format int8/int4"
             )
         if len(jax.devices()) < args.tp:
             raise SystemExit(
