@@ -225,6 +225,75 @@ def test_int3_mixed_calibrated(midsize):
     assert klm < kl3 / 2.5, (klm, kl3)
 
 
+def test_calibrated_vq_lm_head_converted(tmp_path):
+    """A checkpoint whose lm_head is itself VPTQ-quantized must not
+    keep a VQLinear lm_head in the calibrated output (that would pay
+    the measured-slow codebook-gather path for every vocab
+    projection); it is converted to the base runtime format, mirroring
+    the non-calibrated path (ADVICE r3, medium)."""
+    from vptq_tpu.layers.runtime import Int4Linear
+    from vptq_tpu.layers.vqlinear import VQLinear
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.utils.synth_checkpoint import (
+        tiny_model_config,
+        write_synthetic_checkpoint,
+    )
+
+    write_synthetic_checkpoint(
+        tmp_path,
+        tiny_model_config(tie_word_embeddings=False),
+        vq_kwargs=dict(
+            vector_len=4, num_centroids=64, num_res_centroids=16,
+            enable_norm=True, is_indice_packed=True,
+        ),
+        seed=3,
+        vq_lm_head=True,
+    )
+    exact = load_model(
+        str(tmp_path), runtime_format="codebook", fuse=False
+    )
+    assert isinstance(exact.lm_head, VQLinear)
+    mm = load_model(
+        str(tmp_path), runtime_format="int4-mixed", calibration=128
+    )
+    assert isinstance(mm.lm_head, Int4Linear), type(mm.lm_head)
+
+
+def test_calibrated_tp_quantize_lm_head(tmp_path):
+    """The calibrated TP branch must honor quantize_lm_head (it used
+    to silently skip it; ADVICE r3) — the placed lm_head comes out
+    int8-sharded, not dense bf16."""
+    import jax
+
+    from vptq_tpu.layers.runtime import Int8Linear
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.parallel.sharding import make_mesh
+    from vptq_tpu.utils.synth_checkpoint import (
+        tiny_model_config,
+        write_synthetic_checkpoint,
+    )
+
+    write_synthetic_checkpoint(
+        tmp_path,
+        tiny_model_config(tie_word_embeddings=False),
+        vq_kwargs=dict(
+            vector_len=4, num_centroids=64, num_res_centroids=16,
+            enable_norm=True, is_indice_packed=True,
+        ),
+        seed=4,
+    )
+    mesh = make_mesh(
+        data=1, model=2, devices=np.asarray(jax.devices()[:2])
+    )
+    model_tp = load_model(
+        str(tmp_path), runtime_format="int4-mixed", calibration=128,
+        mesh=mesh, parallel="tp", quantize_lm_head=True,
+    )
+    assert isinstance(model_tp.lm_head, Int8Linear), (
+        type(model_tp.lm_head)
+    )
+
+
 def test_int4_mixed_under_tp(midsize):
     """Calibrated int4-mixed places onto a TP mesh with per-shard
     GPTQ for row-parallel sites (no lossy re-quantization) and greedy

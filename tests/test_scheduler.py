@@ -130,6 +130,22 @@ def test_scheduler_long_prompt(tmp_path):
     assert sched.run()[rid] == ref
 
 
+def test_max_len_prompt_yields_one_token(tmp_path):
+    """A (max_seq-1)-token prompt must still deliver its first sampled
+    token: the admission pseudo-chunk's seq-budget term is 0 there and
+    the pre-fix code dropped the token, retiring with empty output."""
+    model = _model(tmp_path)
+    sched = Scheduler(model, max_batch=2, max_seq=64,
+                      dtype=jnp.float32, chunk=4, prompt_buckets=(16,))
+    prompt = list(range(1, 64))  # len 63 == max_seq - 1
+    rid = sched.submit(prompt, max_new_tokens=8)
+    out = sched.run()[rid]
+    assert len(out) == 1, out
+    gen = Generator(model, max_seq=64, dtype=jnp.float32,
+                    prompt_buckets=(16,))
+    assert out == gen.generate(prompt, max_new_tokens=1)
+
+
 def test_scheduler_tp_matches_plain(tmp_path):
     """Continuous batching under shard_map TP: same outputs as the
     single-device scheduler (greedy, bf16 model on a 2-way mesh)."""

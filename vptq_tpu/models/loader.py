@@ -385,26 +385,39 @@ def load_model(
             ),
             upload=tp_mesh is None,
         )
+        # quantize_model_calibrated only re-encodes decoder blocks: a
+        # checkpoint whose lm_head is itself VPTQ-quantized would keep
+        # a VQLinear vocab projection (the measured-slow gather path)
+        # unless converted here, mirroring the non-calibrated path.
+        lm = model.lm_head
+        if isinstance(lm, VQLinear):
+            from vptq_tpu.layers.runtime import to_runtime
+
+            base_fmt = {
+                "int4-mixed": "int4", "int3-mixed": "int3",
+            }.get(runtime_format, runtime_format)
+            lm = to_runtime(lm, base_fmt)
+        if quantize_lm_head and isinstance(lm, DenseLinear):
+            from vptq_tpu.layers.runtime import dense_to_int8
+
+            lm = dense_to_int8(lm)
+        if lm is not model.lm_head:
+            import jax
+
+            if tp_mesh is None:
+                lm = jax.tree.map(jnp.asarray, lm)
+            model = Model(
+                embed_tokens=model.embed_tokens,
+                blocks=model.blocks,
+                norm=model.norm,
+                lm_head=lm,
+                cfg=model.cfg,
+            )
         if tp_mesh is not None:
             from vptq_tpu.parallel.tp import tp_place_model
 
             model, _specs = tp_place_model(
                 model, tp_mesh, reencode_rows=False
-            )
-            return model
-        if quantize_lm_head and isinstance(model.lm_head, DenseLinear):
-            from vptq_tpu.layers.runtime import dense_to_int8
-
-            import jax
-
-            model = Model(
-                embed_tokens=model.embed_tokens,
-                blocks=model.blocks,
-                norm=model.norm,
-                lm_head=jax.tree.map(
-                    jnp.asarray, dense_to_int8(model.lm_head)
-                ),
-                cfg=model.cfg,
             )
         return model
 

@@ -40,12 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--runtime-format", type=str, default="int8",
         choices=(
-            "int8", "int4", "int4-mixed", "int3", "bf16", "codebook",
+            "int8", "int4", "int4-mixed", "int3", "int3-mixed",
+            "bf16", "codebook",
         ),
         help="runtime weight format (see ARCHITECTURE.md); "
-        "int4-mixed = calibrated GPTQ int4 with the measured-most-"
-        "sensitive sites kept int8; int3 = sub-4-bit memory-floor "
-        "plane format",
+        "int4-mixed/int3-mixed = calibrated GPTQ with the measured-"
+        "most-sensitive sites kept int8; int3 = sub-4-bit memory-"
+        "floor plane format",
     )
     p.add_argument(
         "--calibration-tokens", type=int, default=0,

@@ -611,11 +611,19 @@ class Scheduler:
                 # this column is speculative garbage
                 continue
             remaining = req.max_new_tokens - len(req.output)
+            # the seq-cap term can hit 0 only for the admission pseudo
+            # chunk of a (max_seq-1)-token prompt; its first sampled
+            # token is already in hand (no cache write needed — decode
+            # writes are clamped at max_seq), so floor the budget at 1
+            # to guarantee every admitted request yields >= 1 token.
             budget = min(
                 remaining,
                 self.chunk,
-                self.max_seq - int(len(req.prompt)) - len(req.output)
-                - 1,
+                max(
+                    1,
+                    self.max_seq - int(len(req.prompt))
+                    - len(req.output) - 1,
+                ),
             )
             new = arr[:budget, slot].tolist()
             if req.eos_token_id is not None and req.eos_token_id in new:

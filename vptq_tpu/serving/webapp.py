@@ -306,7 +306,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "--runtime-format", default="int8",
         choices=(
-            "int8", "int4", "int4-mixed", "int3", "bf16", "codebook",
+            "int8", "int4", "int4-mixed", "int3", "int3-mixed",
+            "bf16", "codebook",
         ),
     )
     p.add_argument("--max-new-tokens", type=int, default=256)

@@ -109,11 +109,16 @@ def write_synthetic_checkpoint(
     seed: int = 0,
     dtype=np.float16,
     qkv_bias: bool = False,
+    vq_lm_head: bool = False,
 ) -> Path:
     """Create ``path`` with config.json + model.safetensors.
 
     ``vq_kwargs`` override :func:`make_config` geometry knobs (per-shape
     fields in/out_features are filled in per projection).
+
+    ``vq_lm_head``: emit the lm_head as a VPTQ-quantized layer (some
+    community checkpoints quantize the vocab projection too) instead of
+    a dense ``lm_head.weight``. Requires untied embeddings.
     """
     from safetensors.numpy import save_file
 
@@ -254,9 +259,23 @@ def write_synthetic_checkpoint(
     ).astype(dtype)
     tensors["model.norm.weight"] = np.ones(h, dtype=dtype)
     if not mc.tie_word_embeddings:
-        tensors["lm_head.weight"] = (
-            0.02 * rng.standard_normal((mc.vocab_size, h))
-        ).astype(dtype)
+        if vq_lm_head:
+            cfg = make_config(
+                in_features=h, out_features=mc.vocab_size, **vq_kwargs
+            )
+            tensors.update(
+                _layer_tensors(
+                    "lm_head", cfg,
+                    seed=int(rng.integers(1 << 31)), dtype=dtype,
+                )
+            )
+            config_for_layers["lm_head"] = cfg.to_dict()
+        else:
+            tensors["lm_head.weight"] = (
+                0.02 * rng.standard_normal((mc.vocab_size, h))
+            ).astype(dtype)
+    elif vq_lm_head:
+        raise ValueError("vq_lm_head requires tie_word_embeddings=False")
 
     save_file(tensors, root / "model.safetensors")
 
