@@ -100,14 +100,21 @@ class _Hess:
         self.d = np.zeros((n,), np.float32) if diag_only else None
         self.count = 0
 
+    # token-chunk size for the rank-k Hessian accumulation: bounds the
+    # (chunk, in) f32 staging copy at ~128 MB even at DeepSeek's
+    # in=18432 (the syrk peak is the (in,in) buffer itself, held once)
+    CHUNK = 8192
+
     def update(self, x: jnp.ndarray):
         x2 = np.asarray(
             jax.device_get(x.reshape(-1, x.shape[-1])), np.float32
         )
-        if self.d is not None:
-            self.d += (x2 * x2).sum(axis=0)
-        else:
-            self.h += x2.T @ x2
+        for c0 in range(0, x2.shape[0], self.CHUNK):
+            xc = x2[c0: c0 + self.CHUNK]
+            if self.d is not None:
+                self.d += (xc * xc).sum(axis=0)
+            else:
+                self.h += xc.T @ xc
         self.count += x2.shape[0]
 
     @property
@@ -410,6 +417,13 @@ def _quantize_site(
     blocked shard_map-TP layout (per-shard GPTQ)."""
     weights = [(_p, _exact_f32(lin), lin.bias) for _p, lin in members]
 
+    # The H-weighted output-error ratio costs an (out, in) x (in, in)
+    # GEMM per member — at 7B geometry that dwarfs GPTQ itself. It is
+    # only a DECISION input on the threshold path; with a ranking-pass
+    # budget (int8_threshold=None) the report gets the cheap
+    # O(out*in) weight-RMS ratio instead.
+    err_hess = hess if int8_threshold is not None else None
+
     def encode(bits: int):
         out = []
         errs = []
@@ -420,7 +434,7 @@ def _quantize_site(
                 )
             else:
                 lin, w_hat = _gptq_layer(bits, w, bias, hess, damp)
-            errs.append(output_error_ratio(w, w_hat, hess))
+            errs.append(output_error_ratio(w, w_hat, err_hess))
             out.append((path, lin))
         return out, errs
 
@@ -559,12 +573,17 @@ def quantize_model_calibrated(
 
     report: Dict[str, dict] = {}
 
+    import time as _time
+
+    t_start = _time.time()
+
     # ---- ranking pass: measured per-site sensitivity -> int8 set ----
     forced_int8: set = set()
     if int8_fraction is not None and fmt != "int8":
         x, cos, sin, cache = fresh_inputs()
         sens: Dict[str, float] = {}
         for i, block in enumerate(model.blocks):
+            t_blk = _time.time()
             sites = _site_map(block)
             x, cache, hessians = _capture_block(
                 i, block, sites, x, cos, sin, cache, cfg,
@@ -584,6 +603,12 @@ def quantize_model_calibrated(
                     )
                     for lin in vq
                 )
+            done, total = i + 1, len(model.blocks)
+            eta = (_time.time() - t_start) / done * (total - done)
+            logger.info(
+                "ranking pass block %d/%d (%.1fs, ETA %.0fs)",
+                done, total, _time.time() - t_blk, eta,
+            )
         n8 = int(round(len(sens) * int8_fraction))
         ranked = sorted(sens, key=sens.get, reverse=True)
         forced_int8 = set(ranked[:n8])
@@ -595,9 +620,11 @@ def quantize_model_calibrated(
         )
 
     # ---- main pass: capture + GPTQ + propagate quantized stream ----
+    t_main = _time.time()
     x, cos, sin, cache = fresh_inputs()
     new_blocks = []
     for i, block in enumerate(model.blocks):
+        t_blk = _time.time()
         sites = _site_map(block)
         x_cap, cache, hessians = _capture_block(
             i, block, sites, x, cos, sin, cache, cfg
@@ -618,7 +645,7 @@ def quantize_model_calibrated(
             h = hessians[site]
             encoded, site_rep = _quantize_site(
                 members,
-                h.h.astype(np.float64) if h.count else None,
+                h.h if h.count else None,
                 fmt,
                 int8_threshold,
                 damp,
@@ -642,10 +669,14 @@ def quantize_model_calibrated(
         else:
             x = x_cap
         new_blocks.append(qblock)
+        done, total = i + 1, len(model.blocks)
+        eta = (_time.time() - t_main) / done * (total - done)
         logger.info(
-            "calibrated block %d/%d: %s",
-            i + 1,
-            len(model.blocks),
+            "calibrated block %d/%d (%.1fs, ETA %.0fs): %s",
+            done,
+            total,
+            _time.time() - t_blk,
+            eta,
             {
                 k.split(".")[-1]: v["format"]
                 for k, v in report.items()
@@ -678,5 +709,6 @@ def quantize_model_calibrated(
         "int4_sites": n4,
         "int8_sites": n8,
         "calib_tokens": int(batch * seq),
+        "wall_s": round(_time.time() - t_start, 1),
     }
     return out, report

@@ -89,22 +89,62 @@ def _group_scale(
     return scale
 
 
-def _cholesky_inv_upper(h: np.ndarray, damp: float) -> np.ndarray:
-    """Upper Cholesky factor of H^-1 (dampened), f64 for stability."""
-    from scipy import linalg
+def _cholesky_inv_upper_at(h: np.ndarray, dtype) -> np.ndarray:
+    """Upper U with ``H^-1 = U^T U`` via the flipped UL factorization.
 
-    h = h.astype(np.float64, copy=True)
+    ``H^-1 = U^T U`` means ``H = U^-1 U^-T`` — a UL decomposition of H.
+    Flipping rows+cols turns it into a standard lower Cholesky:
+    ``J H J = (J U^-1 J)(J U^-1 J)^T`` with ``J U^-1 J`` lower
+    triangular. So: ``L = chol(JHJ)``, ``U = J L^-1 J``. One potrf +
+    one trtri ≈ 2n^3/3 flops, vs the naive
+    cho_factor + cho_solve(eye) + cholesky ≈ 3n^3 — and it never
+    materializes H^-1. At in=11008 (7B down_proj) this is the
+    difference between ~230 s (f64 naive) and ~20 s (f32 here) per
+    site on a 4-core host.
+    """
+    from scipy import linalg
+    from scipy.linalg import lapack
+
+    hf = np.ascontiguousarray(h[::-1, ::-1].astype(dtype, copy=False))
+    low = linalg.cholesky(hf, lower=True, check_finite=False)
+    trtri = lapack.strtri if dtype == np.float32 else lapack.dtrtri
+    linv, info = trtri(low, lower=1)
+    if info != 0:
+        raise np.linalg.LinAlgError(f"trtri failed (info={info})")
+    u = np.ascontiguousarray(linv[::-1, ::-1])
+    if not np.all(np.isfinite(u)):
+        raise np.linalg.LinAlgError("non-finite factor")
+    return u
+
+
+def _cholesky_inv_upper(h: np.ndarray, damp: float) -> np.ndarray:
+    """Upper Cholesky factor of H^-1 (dampened).
+
+    f32 first (GPTQ-standard precision; ~3x faster LAPACK and half
+    the transient memory — the factor is the scaling bottleneck at
+    70B geometry, in=28672), escalating damping then f64 only if
+    factorization fails.
+    """
+    h = np.asarray(h)
     idx = np.arange(h.shape[0])
-    diag = h[idx, idx]
-    h[idx, idx] = np.where(diag <= 0, 1.0, diag) + damp * float(
-        np.where(diag <= 0, 1.0, diag).mean()
+    diag = np.asarray(h[idx, idx], np.float64)
+    safe = np.where(diag <= 0, 1.0, diag)
+    mean_d = float(safe.mean())
+
+    def dampened(mult: float, dtype):
+        hd = h.astype(dtype, copy=True)
+        hd[idx, idx] = safe + mult * damp * mean_d
+        return hd
+
+    for mult, dtype in ((1.0, np.float32), (10.0, np.float32),
+                        (1.0, np.float64), (100.0, np.float64)):
+        try:
+            return _cholesky_inv_upper_at(dampened(mult, dtype), dtype)
+        except np.linalg.LinAlgError:
+            continue
+    raise np.linalg.LinAlgError(
+        "Hessian not factorizable even with 100x damping"
     )
-    # H^-1 via Cholesky solve, then the upper factor of H^-1
-    lo, low = linalg.cho_factor(h, lower=True, check_finite=False)
-    hinv = linalg.cho_solve(
-        (lo, low), np.eye(h.shape[0]), check_finite=False
-    )
-    return linalg.cholesky(hinv, lower=False, check_finite=False)
 
 
 def gptq_quantize(
@@ -218,13 +258,16 @@ def output_error_ratio(
     (calibrate.quantize_model_calibrated). With ``hessian=None`` it
     degrades to the plain relative squared weight RMS.
     """
-    dw = (w_hat - w).astype(np.float64)
-    wf = w.astype(np.float64)
+    dw = (w_hat - w).astype(np.float32)
+    wf = w.astype(np.float32)
     if hessian is None:
-        num = float(np.sum(dw * dw))
-        den = float(np.sum(wf * wf))
+        num = float(np.sum(dw.astype(np.float64) ** 2))
+        den = float(np.sum(wf.astype(np.float64) ** 2))
     else:
-        h = np.asarray(hessian, np.float64)
-        num = float(np.sum((dw @ h) * dw))
-        den = float(np.sum((wf @ h) * wf))
+        # f32 GEMMs (4x the f64 throughput on this host; the ratio is
+        # a format decision at ~1e-2 scale, far above sgemm noise)
+        # with f64 reductions
+        h = np.asarray(hessian, np.float32)
+        num = float(np.einsum("ij,ij->", dw @ h, dw, dtype=np.float64))
+        den = float(np.einsum("ij,ij->", wf @ h, wf, dtype=np.float64))
     return num / den if den > 0 else 0.0
