@@ -302,3 +302,56 @@ def test_pipeline_depths_identical(tmp_path):
         res = sched.run()
         outs.append([res[i] for i in ids])
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_batched_admission_burst_matches_singles(tmp_path):
+    """A burst of same-bucket admissions takes the BATCHED prefill
+    path (one weight pass for up to admit_parallel requests) and must
+    reproduce single-sequence generation exactly."""
+    model = _model(tmp_path)
+    gen = Generator(model, max_seq=64, dtype=jnp.float32,
+                    prompt_buckets=(16,))
+    prompts = [
+        [1, 2, 3], [9, 8, 7, 6, 5], [42, 43], [13, 14, 15, 16],
+        [7], [200, 201, 202],
+    ]
+    singles = [gen.generate(p, max_new_tokens=8) for p in prompts]
+
+    sched = Scheduler(
+        model, max_batch=4, max_seq=64, dtype=jnp.float32, chunk=4,
+        prompt_buckets=(16,), admit_parallel=4,
+    )
+    ids = [sched.submit(p, max_new_tokens=8) for p in prompts]
+    res = sched.run()
+    # the 4 free slots admit concurrently -> at least one group of 2+
+    assert sched.stats["batched_admissions"] >= 2
+    for rid, ref in zip(ids, singles):
+        assert res[rid] == ref, (rid, res[rid], ref)
+
+
+def test_scheduler_int3_runtime_format(tmp_path):
+    """The memory-floor format serves through the scheduler: int3
+    batched decode matches the single-sequence generator (greedy,
+    f32)."""
+    write_synthetic_checkpoint(
+        tmp_path, tiny_model_config(hidden_size=128,
+                                    intermediate_size=256),
+        vq_kwargs=dict(
+            vector_len=4, num_centroids=64, num_res_centroids=16,
+            enable_norm=True, is_indice_packed=True,
+        ),
+        seed=43,
+    )
+    model = load_model(str(tmp_path), dtype=jnp.float32,
+                       runtime_format="int3")
+    gen = Generator(model, max_seq=64, dtype=jnp.float32,
+                    prompt_buckets=(16,))
+    prompts = [[1, 2, 3], [9, 8, 7], [42]]
+    singles = [gen.generate(p, max_new_tokens=8) for p in prompts]
+
+    sched = Scheduler(model, max_batch=2, max_seq=64,
+                      dtype=jnp.float32, chunk=4, prompt_buckets=(16,))
+    ids = [sched.submit(p, max_new_tokens=8) for p in prompts]
+    res = sched.run()
+    for rid, ref in zip(ids, singles):
+        assert res[rid] == ref, (rid, res[rid], ref)

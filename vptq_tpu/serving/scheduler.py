@@ -269,6 +269,18 @@ class Scheduler:
         self.finished: Dict[int, Request] = {}
         self._next_id = 0
         self._chunk_idx = 0
+        # host-side wall decomposition (bench --serving prints it):
+        # sync_wait_s = blocked on device results (the depth-lagged
+        # chunk sync), dispatch_s = enqueueing decode chunks,
+        # admit_s = enqueueing prefill work. All host wall time.
+        self.stats = {
+            "sync_wait_s": 0.0,
+            "dispatch_s": 0.0,
+            "admit_s": 0.0,
+            "steps": 0,
+            "chunks": 0,
+            "batched_admissions": 0,
+        }
         # concurrent in-flight admissions (one per claimed free slot):
         # each advances ONE prefill bucket per step, so slot occupancy
         # ramps in ~1 chunk instead of one admission per chunk
@@ -319,6 +331,7 @@ class Scheduler:
                     )
 
             self._prefill_one = _prefill_one
+            self._prefill_fresh_batch = None
         else:
 
             @functools.partial(
@@ -342,6 +355,23 @@ class Scheduler:
                 return logits, cache1
 
             self._prefill_one = _prefill_one
+
+            @functools.partial(jax.jit, static_argnames=("dtype",))
+            def _prefill_fresh_batch(model, tokens, dtype=self.dtype):
+                # batched admission prefill: B single-bucket prompts
+                # share ONE weight pass (prefill at these sizes is
+                # memory-bound — batch-4 costs ~the same device time
+                # as batch-1). The scratch cache is bucket-length, not
+                # max_seq: _insert_slot writes a (1, bucket) block.
+                cache = init_cache(
+                    model.cfg, tokens.shape[0], tokens.shape[1], dtype
+                )
+                return forward(
+                    model, tokens, cache, dtype=dtype,
+                    fresh_prefill=True,
+                )
+
+            self._prefill_fresh_batch = _prefill_fresh_batch
 
         @jax.jit
         def _insert_slot(cache, k1, v1, slot, plen):
@@ -468,14 +498,71 @@ class Scheduler:
         slot) when its whole prompt has been prefilled. Bounded work
         per admission per call keeps decode latency of active slots
         independent of admitted prompt lengths.
+
+        Fresh single-bucket admissions landing in the same bucket are
+        BATCHED into one prefill call (one weight pass instead of one
+        per request — an admission burst into B free slots used to
+        serialize B batch-1 prefills between decode chunks).
         """
         # bound prefill work between decode chunks: advance at most
         # admit_parallel admissions (FIFO) per step, so one active
         # slot's inter-token latency never pays more than
         # admit_parallel prefill buckets
-        for adm in list(self._admissions)[: self.admit_parallel]:
+        batch = list(self._admissions)[: self.admit_parallel]
+        grouped: Dict[int, List[_Admission]] = {}
+        if self._prefill_fresh_batch is not None:
+            for adm in batch:
+                if (
+                    adm.done == 0
+                    and adm.cache1 is None
+                    and len(adm.req.prompt) <= self.prompt_buckets[-1]
+                ):
+                    b = next(
+                        bk
+                        for bk in self.prompt_buckets
+                        if len(adm.req.prompt) <= bk
+                    )
+                    grouped.setdefault(b, []).append(adm)
+        in_group = set()
+        for bucket, grp in grouped.items():
+            if len(grp) < 2:
+                continue
+            self._prefill_group(grp, bucket)
+            for adm in grp:
+                in_group.add(id(adm))
+                self._admissions.remove(adm)
+        for adm in batch:
+            if id(adm) in in_group:
+                continue
             if self._advance_one(adm):
                 self._admissions.remove(adm)
+
+    def _prefill_group(
+        self, grp: List[_Admission], bucket: int
+    ) -> None:
+        """One batched fresh prefill for 2+ same-bucket admissions.
+
+        The batch is padded to ``admit_parallel`` rows so the jit
+        cache holds one executable per bucket, not one per group size.
+        """
+        rows = self.admit_parallel
+        padded = np.zeros((rows, bucket), dtype=np.int32)
+        for i, adm in enumerate(grp):
+            adm.last_len = len(adm.req.prompt)
+            padded[i, : adm.last_len] = adm.req.prompt
+        logits, cache = self._prefill_fresh_batch(
+            self.model, jnp.asarray(padded)
+        )
+        self.stats["batched_admissions"] += len(grp)
+        for i, adm in enumerate(grp):
+            adm.logits = logits[i: i + 1]
+            adm.cache1 = KVCache(
+                k=tuple(b[i: i + 1] for b in cache.k),
+                v=tuple(b[i: i + 1] for b in cache.v),
+                lengths=cache.lengths[i: i + 1],
+            )
+            adm.done = adm.last_len
+            self._finish_admission(adm)
 
     def _advance_one(self, adm: _Admission) -> bool:
         """Advance one bucket; True when the admission completed."""
@@ -500,8 +587,13 @@ class Scheduler:
         adm.done += adm.last_len
         if adm.done < plen:
             return False  # more buckets to go; decode runs in between
+        self._finish_admission(adm)
+        return True
 
-        # ---- prefill complete: install the request into its slot
+    def _finish_admission(self, adm: _Admission) -> None:
+        """Prefill complete: install the request into its slot."""
+        req = adm.req
+        plen = len(req.prompt)
         slot = adm.slot
         if self.prefix_cache is not None:
             self.prefix_cache.insert(
@@ -548,7 +640,6 @@ class Scheduler:
                 slots=pseudo_slots,
             )
         )
-        return True
 
     def _retire(self, slot: int) -> None:
         req = self.slots[slot]
@@ -601,8 +692,12 @@ class Scheduler:
         """Host-consume the oldest in-flight chunk: stream its tokens,
         retire finished slots. Blocks until that chunk is ready (the
         only host↔device sync in the decode path)."""
+        import time as _time
+
         entry = self._inflight.popleft()
+        t0 = _time.perf_counter()
         arr = np.asarray(entry.toks)  # (chunk, B)
+        self.stats["sync_wait_s"] += _time.perf_counter() - t0
 
         for slot in range(self.max_batch):
             req = entry.slots[slot]
@@ -647,13 +742,21 @@ class Scheduler:
         """Advance one prefill bucket (if admitting), dispatch one
         decode chunk, and consume token results ``depth-1`` chunks
         behind the dispatch front."""
+        import time as _time
+
+        self.stats["steps"] += 1
+        t0 = _time.perf_counter()
         self._start_admission()
         self._advance_admission()
         # an admission that just completed frees the machinery for the
         # next pending request (its first bucket runs next step)
         self._start_admission()
+        t1 = _time.perf_counter()
+        self.stats["admit_s"] += t1 - t0
         if self.num_active:
             self._dispatch_chunk()
+            self.stats["chunks"] += 1
+            self.stats["dispatch_s"] += _time.perf_counter() - t1
         elif self._inflight:
             # nothing to dispatch: drain an outstanding chunk so
             # retirements land and run() terminates
