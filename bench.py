@@ -13,7 +13,9 @@ One-flag invocations for every headline number (each prints one line):
 
     python bench.py              # int8 decode tok/s (default metric)
     python bench.py --int4       # int4 decode tok/s
-    python bench.py --mixed      # int4-mixed (calibrated default) decode
+    python bench.py --mixed      # int4-mixed BYTE-BUDGET STAND-IN
+    python bench.py --calibrated=DIR  # REAL calibrated model decode
+                                 # (DIR from scripts/calibrate_bench.py)
     python bench.py --int4 --batch=8   # batched decode throughput
     python bench.py --serving    # continuous-batching scheduler tok/s
     python bench.py --ttft       # 512-token prefill p50 latency
@@ -33,7 +35,7 @@ import numpy as np
 BASELINE_TOK_S = 39.9  # LLaMA-2 7B @ 2.02 bit, A100 (README.md:274)
 
 
-def build_7b_int8(rng, fmt="int8"):
+def build_7b_int8(rng, fmt="int8", geometry="llama2-7b"):
     import jax.numpy as jnp
 
     from vptq_tpu.layers.runtime import (
@@ -42,19 +44,18 @@ def build_7b_int8(rng, fmt="int8"):
         pick_group,
     )
     from vptq_tpu.models.llama import Attention, Block, Mlp, Model, ModelConfig
+    from vptq_tpu.tools.plan import GEOMETRIES
 
     cfg = ModelConfig(
-        vocab_size=32000,
-        hidden_size=4096,
-        intermediate_size=11008,
-        num_hidden_layers=32,
-        num_attention_heads=32,
-        num_key_value_heads=32,
-        head_dim=128,
-        rms_norm_eps=1e-5,
-        rope_theta=10000.0,
-        tie_word_embeddings=False,
-        model_type="llama",
+        **{
+            **dict(
+                rms_norm_eps=1e-5,
+                rope_theta=10000.0,
+                tie_word_embeddings=False,
+                model_type="llama",
+            ),
+            **GEOMETRIES[geometry],
+        }
     )
 
     # decode speed is independent of weight values; generate weights
@@ -249,16 +250,29 @@ def main():
         fmt = "codebook"
     batch = 1
     prompt_len = 512
+    calibrated_dir = None
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
         if a.startswith("--prompt="):
             prompt_len = int(a.split("=")[1])
+        if a.startswith("--calibrated="):
+            calibrated_dir = a.split("=", 1)[1]
     max_seq = max(512, steps + 8)
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    model = build_7b_int8(rng, fmt=fmt)
+    if calibrated_dir is not None:
+        # the REAL calibrated model (scripts/calibrate_bench.py output:
+        # ranking pass + GPTQ, not the --mixed byte-budget stand-in).
+        # Host->device upload of the actual tensors rides the tunnel —
+        # the build time printed below includes it.
+        from vptq_tpu.tools.export_runtime import load_runtime_model
+
+        fmt = "int4mixed_calibrated"
+        model = load_runtime_model(calibrated_dir)
+    else:
+        model = build_7b_int8(rng, fmt=fmt)
     print(f"# model built in {time.time()-t0:.1f}s", file=sys.stderr)
 
     if metric == "serving":
@@ -283,6 +297,9 @@ def main():
         sched.submit(reqs[0][:8], max_new_tokens=4)
         sched.submit(reqs[0][:80], max_new_tokens=4)
         sched.run()
+        for k in sched.stats:
+            sched.stats[k] = 0 if isinstance(
+                sched.stats[k], int) else 0.0
         t0 = time.time()
         ids = [sched.submit(r, max_new_tokens=128) for r in reqs]
         out = sched.run()
@@ -290,6 +307,7 @@ def main():
         # run() returns all finished requests incl. warmups — count
         # only the timed ones
         total = sum(len(out[rid]) for rid in ids)
+        s = sched.stats
         print(
             json.dumps(
                 {
@@ -299,6 +317,14 @@ def main():
                     "vs_baseline": round(
                         total / dt / BASELINE_TOK_S, 3
                     ),
+                    # host-wall decomposition (scheduler.stats):
+                    # sync_wait = blocked on device results; the rest
+                    # of the wall is device-overlapped host work
+                    "wall_s": round(dt, 2),
+                    "sync_wait_s": round(s["sync_wait_s"], 2),
+                    "dispatch_s": round(s["dispatch_s"], 2),
+                    "admit_s": round(s["admit_s"], 2),
+                    "batched_admissions": s["batched_admissions"],
                 }
             )
         )
