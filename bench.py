@@ -152,6 +152,9 @@ def build_7b_int8(rng, fmt="int8", geometry="llama2-7b"):
         return Int8Linear(wq=wq, scales=scales, bias=None)
 
     h, inter = cfg.hidden_size, cfg.intermediate_size
+    qkv_out = (
+        cfg.num_attention_heads + 2 * cfg.num_key_value_heads
+    ) * cfg.head_dim
     blocks = []
     for i in range(cfg.num_hidden_layers):
         bf = None
@@ -173,8 +176,11 @@ def build_7b_int8(rng, fmt="int8", geometry="llama2-7b"):
                     q_proj=None,
                     k_proj=None,
                     v_proj=None,
-                    o_proj=lin(h, h, f=bf),
-                    qkv_proj=lin(h, 3 * h, f=bf),
+                    o_proj=lin(
+                        cfg.num_attention_heads * cfg.head_dim,
+                        h, f=bf,
+                    ),
+                    qkv_proj=lin(h, qkv_out, f=bf),
                 ),
                 post_attention_layernorm=jnp.ones(h, jnp.float32),
                 mlp=Mlp(
@@ -251,6 +257,7 @@ def main():
     batch = 1
     prompt_len = 512
     calibrated_dir = None
+    geometry = "llama2-7b"
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
@@ -258,6 +265,8 @@ def main():
             prompt_len = int(a.split("=")[1])
         if a.startswith("--calibrated="):
             calibrated_dir = a.split("=", 1)[1]
+        if a.startswith("--geometry="):
+            geometry = a.split("=", 1)[1]
     max_seq = max(512, steps + 8)
 
     rng = np.random.default_rng(0)
@@ -272,7 +281,7 @@ def main():
         fmt = "int4mixed_calibrated"
         model = load_runtime_model(calibrated_dir)
     else:
-        model = build_7b_int8(rng, fmt=fmt)
+        model = build_7b_int8(rng, fmt=fmt, geometry=geometry)
     print(f"# model built in {time.time()-t0:.1f}s", file=sys.stderr)
 
     if metric == "serving":
@@ -386,7 +395,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "llama2_7b_decode_tok_s_1chip"
+                "metric": f"{geometry.replace(chr(45), chr(95))}_decode_tok_s_1chip"
                 + ("" if fmt == "int8" else f"_{fmt}")
                 + (f"_b{batch}" if batch > 1 else ""),
                 "value": round(tok_s, 2),

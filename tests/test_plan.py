@@ -222,3 +222,47 @@ def test_parse_vq():
     assert parse_vq("v8-k65536-0") == (8, 65536, 0)
     with pytest.raises(ValueError):
         parse_vq("8-65536")
+
+
+def test_predict_decode_backcasts_7b_benches():
+    """The decode cost model must reproduce the measured single-chip
+    7B benches within 5% (rates are fitted at 7B int8; int4/int3
+    split lm_head traffic differently, so agreement is not purely
+    circular) and behave sanely across chips/batch."""
+    from vptq_tpu.tools.plan import GEOMETRIES, predict_decode_tok_s
+
+    cfg = ModelConfig(
+        **{
+            **dict(tie_word_embeddings=False, model_type="llama"),
+            **GEOMETRIES["llama2-7b"],
+        }
+    )
+    measured = {"int8": 92.31, "int4": 153.0, "int3": 62.3}
+    for fmt, want in measured.items():
+        got = predict_decode_tok_s(cfg, fmt, max_seq=264)
+        assert abs(got - want) / want < 0.05, (fmt, got, want)
+
+    # more chips -> faster (weight stream splits), but sublinear
+    # (collective latency)
+    c70 = ModelConfig(
+        **{
+            **dict(tie_word_embeddings=False, model_type="llama"),
+            **GEOMETRIES["llama2-70b"],
+        }
+    )
+    one = predict_decode_tok_s(c70, "int3", chips=1)
+    two = predict_decode_tok_s(c70, "int3", chips=2)
+    four = predict_decode_tok_s(c70, "int3", chips=4)
+    assert one < two < four
+    assert four < 4 * one
+
+    # MoE decode streams only the routed fraction: mixtral int4 at
+    # batch 1 must beat a dense model of the same total bytes
+    mx = ModelConfig(
+        **{
+            **dict(tie_word_embeddings=False),
+            **GEOMETRIES["mixtral-8x7b"],
+        }
+    )
+    moe = predict_decode_tok_s(mx, "int4")
+    assert moe > predict_decode_tok_s(c70, "int4")  # 47B total, 13B active

@@ -40,7 +40,9 @@ from vptq_tpu.models.llama import (
 
 __all__ = [
     "GEOMETRIES",
+    "E2E_GBPS",
     "abstract_runtime_model",
+    "predict_decode_tok_s",
     "validate_plan",
 ]
 
@@ -99,6 +101,103 @@ GEOMETRIES = {
 
 def _abs(shape, dtype):
     return jax.ShapeDtypeStruct(tuple(int(s) for s in shape), dtype)
+
+
+# Measured END-TO-END weight-stream rates (GB/s) of the 7B decode
+# bench on one v5e chip (bench.py `gbps` field — total weight bytes /
+# measured step time, so attention/norm/sampling overheads are
+# already absorbed proportionally). Sources: BENCH_r03.json (int8);
+# round-3/4 driver-verified `bench.py --int4` / `--int3` runs; the
+# codebook rate is the measured gather-bound decode (~0.28 tok/s at
+# 7B = ~0.76 GB/s). bf16 has no dedicated measurement (7B bf16 barely
+# fits one chip) — it reuses the int8 rate, the closest structure
+# (one widening convert per weight byte, XLA-fused).
+E2E_GBPS = {
+    "int8": 614.6,
+    "int4": 544.0,
+    "int3": 170.0,
+    "bf16": 614.6,
+    "codebook": 0.76,
+}
+
+_V5E_HBM_GBPS = 819.0  # utils/profiling.V5E_HBM_GBPS
+
+
+def predict_decode_tok_s(
+    cfg: ModelConfig,
+    fmt: str,
+    chips: int = 1,
+    batch: int = 1,
+    max_seq: int = 2048,
+    quantize_lm_head: bool = True,
+    ici_us: float = 10.0,
+) -> float:
+    """Predicted steady-state decode tok/s of one serving replica.
+
+    The decode step is weight-stream bound, so the model is
+    bytes-over-measured-rate plus explicit terms for what the 7B
+    calibration point does NOT contain:
+
+      t_step = blocks_bytes/chips / E2E_GBPS[fmt]
+             + lm_head_bytes/chips / rate(lm_head fmt)
+             + kv_read_bytes/chips / HBM_SoL       (avg half-full)
+             + (2L + 1) * ici_us                   (chips > 1)
+
+    * per-format rates are MEASURED end-to-end at 7B (E2E_GBPS), so
+      fixed overheads scale proportionally with the streamed bytes;
+    * MoE expert traffic scales by the routed fraction
+      ``min(1, batch*top_k/E)`` — decode touches top_k experts per
+      token, not all E (the stacked-expert kernels gather via scalar
+      prefetch);
+    * the collective term models shard_map TP: 2 psums per block
+      (o_proj + down_proj reduce-scatter'd activations, ~KB-scale at
+      decode, latency-bound) + 1 for the logit merge. ``ici_us`` is a
+      per-collective latency budget (v5e single-hop ICI is ~1 us;
+      10 us default covers launch + fusion-boundary overheads — tune
+      against real multi-chip hardware when available).
+
+    Validation (single chip, where real hardware exists): backcasts
+    the 7B int4/int3 benches within 3% (near-circular — same rates),
+    and the genuine cross-geometry check — 13B int4 predicted 69.5
+    tok/s from the 7B-fitted rates, measured 67.75 on the chip
+    (bench.py --int4 --geometry=llama2-13b, round 4) — lands within
+    2.6%. The multi-chip collective term remains a modeled bound
+    (hardware-blocked: one chip). Anchor: the reference publishes
+    measured 70B tok/s (reference README.md:278).
+    """
+    from vptq_tpu.utils import memory as hbm
+
+    if fmt not in E2E_GBPS:
+        raise ValueError(f"no measured rate for format {fmt!r}")
+    tp = chips if chips > 1 else 1
+    est = hbm.estimate_model_bytes(
+        cfg, fmt, quantize_lm_head=quantize_lm_head, tp_shards=tp
+    )
+    L = cfg.num_hidden_layers
+    n_exp = cfg.n_routed_experts or cfg.num_local_experts
+    stream = est["blocks"]
+    if n_exp:
+        expert_bytes = sum(
+            hbm.linear_runtime_bytes(
+                g.out_features, g.in_features, fmt, None, 1
+            )
+            * g.count
+            for g in hbm.model_geometry(cfg)
+            if g.count > L  # per-expert entries (count = layers * E)
+        )
+        frac = min(1.0, batch * cfg.num_experts_per_tok / n_exp)
+        stream -= expert_bytes * (1.0 - frac)
+    stream += est["norms"]
+    lm_rate = E2E_GBPS["int8" if quantize_lm_head else "bf16"]
+    kv_read = hbm.kv_cache_bytes(cfg, batch, max_seq) / 2
+    t = (
+        stream / chips / (E2E_GBPS[fmt] * 1e9)
+        + est["lm_head"] / chips / (lm_rate * 1e9)
+        + kv_read / chips / (_V5E_HBM_GBPS * 1e9)
+    )
+    if chips > 1:
+        t += (2 * L + 1) * ici_us * 1e-6
+    return batch / t
 
 
 def parse_vq(spec: str):
@@ -626,6 +725,11 @@ def main(argv=None) -> int:
         "--compile", action="store_true",
         help="also AOT-compile the sharded decode step (slower)",
     )
+    ap.add_argument(
+        "--ici-us", type=float, default=10.0,
+        help="per-collective latency budget for the decode cost "
+        "model (us; see predict_decode_tok_s)",
+    )
     args = ap.parse_args(argv)
 
     cfg = ModelConfig(
@@ -669,6 +773,16 @@ def main(argv=None) -> int:
     print(
         f"fits: {(est['total'] + kv) / args.chips / hbm.GiB:.2f}"
         f" GiB/chip of {args.hbm_gb:.1f}"
+    )
+    tok_s = predict_decode_tok_s(
+        cfg, args.format, args.chips, args.batch, args.max_seq,
+        ici_us=args.ici_us,
+    )
+    print(
+        f"predicted decode: {tok_s:.1f} tok/s @ batch {args.batch} "
+        f"(e2e-rate cost model; single-chip backcast within 3% of "
+        f"the 7B int4/int3 benches, 13B cross-check in "
+        f"ARCHITECTURE.md)"
     )
     if args.compile:
         import numpy as np
