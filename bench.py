@@ -302,9 +302,13 @@ def main():
             ).tolist()
             for _ in range(16)
         ]
-        # warm the compile caches: one request per prompt bucket
-        sched.submit(reqs[0][:8], max_new_tokens=4)
-        sched.submit(reqs[0][:80], max_new_tokens=4)
+        # warm the compile caches: enough same-bucket requests per
+        # prompt bucket that the BATCHED admission prefill (padded to
+        # admit_parallel rows, scheduler._prefill_group) compiles too
+        for _ in range(4):
+            sched.submit(reqs[0][:8], max_new_tokens=4)
+        for _ in range(4):
+            sched.submit(reqs[0][:80], max_new_tokens=4)
         sched.run()
         for k in sched.stats:
             sched.stats[k] = 0 if isinstance(

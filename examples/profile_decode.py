@@ -1,11 +1,11 @@
-"""Decode-step cost breakdown on the real chip.
+"""Decode-step cost breakdown on the real chip (--int4 / --int3).
 
 Times each component of a 7B decode step in isolation:
   * each fused linear shape (qkv / o / gate_up / down) x32, lm_head
   * the attention/cache path alone
   * the full fused step (bench.py's decode_loop)
 
-Run: python examples/profile_decode.py
+Run: python examples/profile_decode.py [--int4|--int3]
 """
 
 import sys
@@ -66,8 +66,12 @@ def main():
     from vptq_tpu.models.llama import forward, init_cache
     from vptq_tpu.serving.generate import decode_loop
 
+    fmt = "int8"
+    for a in ("int4", "int3"):
+        if f"--{a}" in sys.argv:
+            fmt = a
     rng = np.random.default_rng(0)
-    model = build_7b_int8(rng)
+    model = build_7b_int8(rng, fmt=fmt)
     cfg = model.cfg
     print("# model built", file=sys.stderr)
 
@@ -83,9 +87,16 @@ def main():
     }
     total_lin = 0.0
     total_bytes = 0
+    def lin_bytes(lin):
+        import jax as _j
+
+        return sum(
+            y.nbytes for y in _j.tree.leaves(lin)
+        )
+
     for name, (lin, inp) in shapes.items():
         t = timeit(lambda v, m=lin: m(v), inp)
-        b = lin.wq.size + lin.scales.size * 4
+        b = lin_bytes(lin)
         total_lin += t * cfg.num_hidden_layers
         total_bytes += b * cfg.num_hidden_layers
         print(
@@ -94,7 +105,7 @@ def main():
         )
 
     t_head = timeit(lambda v: model.lm_head(v), x)
-    b_head = model.lm_head.weight.size * 2
+    b_head = lin_bytes(model.lm_head)
     total_lin += t_head
     total_bytes += b_head
     print(

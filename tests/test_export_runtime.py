@@ -144,3 +144,34 @@ def test_full_size_layer_round_trip(tmp_path):
         model2, tokens, init_cache(cfg, 1, 8, jnp.bfloat16)
     )
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_export_round_trip_int3_mixed(tmp_path):
+    """Int3MixedLinear (per-column mixed int3) survives the runtime
+    checkpoint round trip forward-exactly."""
+    src = tmp_path / "src"
+    rt = tmp_path / "rt"
+    write_synthetic_checkpoint(
+        src, tiny_model_config(), vq_kwargs=VQ, seed=112
+    )
+    model = load_model(
+        str(src), dtype=jnp.float32, runtime_format="int3-mixed",
+        calibration=128,
+    )
+    from vptq_tpu.layers.runtime import Int3MixedLinear
+
+    assert any(
+        isinstance(b.attn.qkv_proj, Int3MixedLinear)
+        for b in model.blocks
+    )
+    export_runtime(model, str(rt))
+    model2 = load_runtime_model(str(rt))
+
+    tokens = jnp.asarray([[3, 7, 11]], jnp.int32)
+    c1 = init_cache(model.cfg, 1, 8, jnp.float32)
+    l1, _ = forward(model, tokens, c1, dtype=jnp.float32)
+    c2 = init_cache(model2.cfg, 1, 8, jnp.float32)
+    l2, _ = forward(model2, tokens, c2, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(l2), rtol=1e-6, atol=1e-6
+    )

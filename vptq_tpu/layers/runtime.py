@@ -33,6 +33,7 @@ __all__ = [
     "Int8Linear",
     "Int4Linear",
     "Int3Linear",
+    "Int3MixedLinear",
     "to_runtime",
     "RUNTIME_FORMATS",
 ]
@@ -278,6 +279,56 @@ class Int3Linear:
         return self.wq2.shape[0]
 
 
+# default int8 COLUMN fraction of the int3-mixed format: the
+# measured-most-sensitive ~3% of input columns (per site, scattered —
+# not whole 128-col groups) go int8. Effective bits: 3.13 (int3
+# planes+scales, selected columns stored as zeros) + 1/32 * 8.25
+# (int8 side matrix) ~= 3.4 bits/weight at 70B geometry — the memory
+# floor survives, unlike site-level mixing (~5.5 bits at the budget
+# that helped). Per-column granularity also re-tightens every scale
+# group an outlier channel polluted (the encoder zeroes selected
+# columns BEFORE picking int3 group scales).
+INT3_MIXED_COL_FRACTION = 1 / 32
+
+
+@struct.dataclass
+class Int3MixedLinear:
+    """int3 planes + an int8 side matrix on the sensitive input groups.
+
+    Per-column mixed precision (VERDICT r3 item 6): the
+    measured-most-sensitive ~3% of input columns are encoded int8
+    (their int3 plane positions hold zeros), the rest stay int3.
+    ``y = int3(x) + int8(x[..., col_idx])`` — both sides ride their
+    existing Pallas kernels; the side-gather touches only activations
+    (O(T*k), negligible at decode).
+
+    Site-level int8 fallback needed ~50% of sites (~5.5 bits/weight)
+    to fix int3's fidelity; column granularity targets the actual
+    error mass (input-channel outliers clipped by the asymmetric
+    [-4,3] range) at ~4.0 bits/weight.
+    """
+
+    int3: Int3Linear
+    int8: Int8Linear
+    col_idx: jnp.ndarray  # (k,) int32 — original input columns
+    bias: Optional[jnp.ndarray] = None
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xs = jnp.take(x, self.col_idx, axis=-1)
+        out = self.int3(x) + self.int8(xs).astype(x.dtype)
+        if self.bias is not None:
+            out = out + self.bias.astype(out.dtype)
+        return out
+
+    @property
+    def out_features(self) -> int:
+        return self.int3.out_features
+
+    @property
+    def in_padded(self) -> int:
+        return self.int3.in_padded
+
+
 def _unpack_int3_jnp(wq2: jnp.ndarray, wq1: jnp.ndarray) -> jnp.ndarray:
     """jnp mirror of packing.unpack_int3 (non-pallas fallback path)."""
     b2 = wq2.astype(jnp.int32)
@@ -297,7 +348,8 @@ def _unpack_int3_jnp(wq2: jnp.ndarray, wq1: jnp.ndarray) -> jnp.ndarray:
 
 
 RuntimeLinear = Union[
-    VQLinear, DenseLinear, Int8Linear, Int4Linear, Int3Linear
+    VQLinear, DenseLinear, Int8Linear, Int4Linear, Int3Linear,
+    Int3MixedLinear,
 ]
 
 
@@ -873,6 +925,36 @@ def fuse_linears(linears):
                 [m.scales for m in linears], axis=0
             ),
             bias=bias,
+        )
+    if isinstance(first, Int3MixedLinear):
+        # fusable only when the site shared ONE column selection (the
+        # calibrated encoder picks per site, so q|k|v / gate|up match)
+        idx0 = np.asarray(first.col_idx)
+        if any(
+            np.asarray(m.col_idx).shape != idx0.shape
+            or not np.array_equal(np.asarray(m.col_idx), idx0)
+            for m in linears[1:]
+        ):
+            return None
+        f3 = fuse_linears([m.int3 for m in linears])
+        f8 = fuse_linears([m.int8 for m in linears])
+        if f3 is None or f8 is None:
+            return None
+        xp = _xp_of(*(m.int3.wq2 for m in linears))
+        biases = [m.bias for m in linears]
+        if any(b is not None for b in biases):
+            bias = xp.concatenate(
+                [
+                    b
+                    if b is not None
+                    else xp.zeros(m.out_features, jnp.float32)
+                    for b, m in zip(biases, linears)
+                ]
+            )
+        else:
+            bias = None
+        return Int3MixedLinear(
+            int3=f3, int8=f8, col_idx=first.col_idx, bias=bias
         )
     if isinstance(first, DenseLinear):
         if any(m.weight.shape[1] != first.weight.shape[1] for m in linears):

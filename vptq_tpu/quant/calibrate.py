@@ -403,6 +403,86 @@ def _gptq_layer_blocked(bits, w, bias, hess, damp, shards):
     return lin, w_hat
 
 
+def _select_cols(
+    weights: List[np.ndarray],
+    hess: Optional[np.ndarray],
+    col_frac: float,
+) -> np.ndarray:
+    """Top-sensitivity input COLUMNS of one site (joint over members,
+    so q|k|v share one selection and stay fusable).
+
+    Column sensitivity = ``diag(H)[c] * sum_r w[r,c]^2`` — the
+    first-order output energy a column carries (input second moment x
+    weight energy). Per-column (not per-128-group) granularity is the
+    point: real-model salient channels are SCATTERED, so a handful of
+    them pollutes many scale groups; pulling the individual columns
+    out both carries them exactly in int8 and lets every polluted
+    int3 group re-tighten its absmax scale (the encode zeroes them
+    before picking scales). Floor of 128 columns keeps the int8 side
+    matmul kernel-shaped.
+    """
+    in_f = weights[0].shape[1]
+    col_e = np.zeros(in_f, np.float64)
+    for w in weights:
+        col_e += (w.astype(np.float64) ** 2).sum(axis=0)
+    if hess is not None:
+        col_e *= np.asarray(
+            np.einsum("ii->i", np.asarray(hess)), np.float64
+        )[:in_f]
+    k = max(128, int(round(in_f * col_frac)))
+    k = min(((k + 127) // 128) * 128, in_f)  # 128-multiple (pad-free
+    # int8 side at group=128), capped at the full input
+    cols = np.sort(np.argsort(col_e)[::-1][:k])
+    return cols.astype(np.int32)
+
+
+def _gptq_layer_int3_mixed(w, bias, hess, damp, cols):
+    """Column-block mixed encode: int8 on ``cols``, int3 elsewhere.
+
+    The selected columns are zeroed (weights AND Hessian rows/cols)
+    for the int3 pass — they are dead inputs there, carried exactly
+    by the int8 side matrix instead.
+    """
+    from vptq_tpu.layers.runtime import Int3MixedLinear, int8_from_q
+
+    w8 = np.ascontiguousarray(w[:, cols])
+    h8 = (
+        None
+        if hess is None
+        else np.ascontiguousarray(hess[np.ix_(cols, cols)])
+    )
+    # group=128 side encode: the selected column count is a
+    # 128-multiple by construction, so pick_group's >=512 floor would
+    # only add zero padding (up to 50% of the side bytes)
+    pad = (-w8.shape[1]) % 128
+    w8p = np.pad(w8, ((0, 0), (0, pad))) if pad else w8
+    h8p = h8
+    if h8 is not None and pad:
+        n8 = w8.shape[1]
+        h8p = np.zeros((n8 + pad, n8 + pad), h8.dtype)
+        h8p[:n8, :n8] = h8
+    q8, s8 = gptq_quantize(w8p, h8p, bits=8, group=128, damp=damp)
+    w_hat8 = dequant_groups(
+        q8, s8, group_spans(w8p.shape[1], 128)
+    )[:, : w8.shape[1]]
+    lin8 = int8_from_q(q8, s8, None)
+
+    w3 = w.copy()
+    w3[:, cols] = 0.0
+    h3 = hess
+    if hess is not None:
+        h3 = np.asarray(hess).copy()
+        h3[cols, :] = 0.0
+        h3[:, cols] = 0.0
+    lin3, w_hat = _gptq_layer(3, w3, None, h3, damp)
+    w_hat[:, cols] = w_hat8
+    lin = Int3MixedLinear(
+        int3=lin3, int8=lin8,
+        col_idx=jnp.asarray(cols), bias=bias,
+    )
+    return lin, w_hat
+
+
 def _quantize_site(
     members: List[Tuple[str, VQLinear]],
     hess: Optional[np.ndarray],
@@ -411,6 +491,7 @@ def _quantize_site(
     damp: float,
     force_int8: bool = False,
     row_shards: int = 1,
+    col_frac: Optional[float] = None,
 ):
     """GPTQ-encode all linears of one site; returns
     ([(path, new_lin)], site_report). ``row_shards > 1`` produces the
@@ -423,6 +504,25 @@ def _quantize_site(
     # budget (int8_threshold=None) the report gets the cheap
     # O(out*in) weight-RMS ratio instead.
     err_hess = hess if int8_threshold is not None else None
+
+    if col_frac is not None:
+        # column-block mixed int3 (single-device int3-mixed): one
+        # joint selection per site so fusion survives
+        cols = _select_cols(
+            [w for _p, w, _b in weights], hess, col_frac
+        )
+        out, errs = [], []
+        for path, w, bias in weights:
+            lin, w_hat = _gptq_layer_int3_mixed(
+                w, bias, hess, damp, cols
+            )
+            errs.append(output_error_ratio(w, w_hat, err_hess))
+            out.append((path, lin))
+        return out, {
+            "format": "int3-mixed",
+            "err_ratio": max(errs),
+            "int8_cols": int(len(cols)),
+        }
 
     def encode(bits: int):
         out = []
@@ -548,7 +648,22 @@ def quantize_model_calibrated(
 
     if fmt not in ("int4", "int4-mixed", "int3", "int3-mixed", "int8"):
         raise ValueError(f"unsupported calibrated format {fmt!r}")
-    if (
+    col_frac = None
+    if fmt == "int3-mixed" and tp_shards == 1:
+        # column-block mixing (the sub-4-bit fidelity path): the
+        # int8_fraction knob is the COLUMN-group fraction here. Under
+        # blocked shard_map TP the format falls back to site-level
+        # mixing (the blocked per-shard layout has no mixed-column
+        # contract yet).
+        from vptq_tpu.layers.runtime import INT3_MIXED_COL_FRACTION
+
+        col_frac = (
+            int8_fraction
+            if int8_fraction is not None
+            else INT3_MIXED_COL_FRACTION
+        )
+        int8_fraction = None  # no site-level ranking pass
+    elif (
         fmt in ("int4-mixed", "int3-mixed")
         and int8_threshold is None
         and int8_fraction is None
@@ -655,6 +770,7 @@ def quantize_model_calibrated(
                     if tp_shards > 1 and site in _ROW_PARALLEL_SITES
                     else 1
                 ),
+                col_frac=col_frac,
             )
             for path, new_lin in encoded:
                 qblock = _set(qblock, path, new_lin)
@@ -703,9 +819,13 @@ def quantize_model_calibrated(
     n8 = sum(1 for r in report.values() if r.get("format") == "int8")
     n4 = sum(1 for r in report.values() if r.get("format") == "int4")
     n3 = sum(1 for r in report.values() if r.get("format") == "int3")
+    nm = sum(
+        1 for r in report.values() if r.get("format") == "int3-mixed"
+    )
     report["summary"] = {
-        "sites": n3 + n4 + n8,
+        "sites": n3 + n4 + n8 + nm,
         "int3_sites": n3,
+        "int3_mixed_sites": nm,
         "int4_sites": n4,
         "int8_sites": n8,
         "calib_tokens": int(batch * seq),

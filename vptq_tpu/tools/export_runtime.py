@@ -37,6 +37,7 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
     from vptq_tpu.layers.dense import DenseLinear
     from vptq_tpu.layers.runtime import (
         Int3Linear,
+        Int3MixedLinear,
         Int4Linear,
         Int8Linear,
     )
@@ -51,6 +52,12 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
 
     def put_linear(prefix, lin):
         if lin is None:
+            return
+        if isinstance(lin, Int3MixedLinear):
+            put_linear(f"{prefix}.mix3", lin.int3)
+            put_linear(f"{prefix}.mix8", lin.int8)
+            put(f"{prefix}.mix_cols", lin.col_idx)
+            put(f"{prefix}.bias", lin.bias)
             return
         if isinstance(lin, Int8Linear):
             put(f"{prefix}.wq", lin.wq)
@@ -183,6 +190,7 @@ def load_runtime_model(runtime_dir: str):
     from vptq_tpu.layers.dense import DenseLinear
     from vptq_tpu.layers.runtime import (
         Int3Linear,
+        Int3MixedLinear,
         Int4Linear,
         Int8Linear,
     )
@@ -218,6 +226,13 @@ def load_runtime_model(runtime_dir: str):
     state = {k: jnp.asarray(v) for k, v in raw.items()}
 
     def get_linear(prefix):
+        if f"{prefix}.mix_cols" in state:
+            return Int3MixedLinear(
+                int3=get_linear(f"{prefix}.mix3"),
+                int8=get_linear(f"{prefix}.mix8"),
+                col_idx=state[f"{prefix}.mix_cols"],
+                bias=state.get(f"{prefix}.bias"),
+            )
         if f"{prefix}.wq" in state:
             return Int8Linear(
                 wq=state[f"{prefix}.wq"],

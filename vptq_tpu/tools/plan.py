@@ -167,19 +167,30 @@ def predict_decode_tok_s(
     """
     from vptq_tpu.utils import memory as hbm
 
-    if fmt not in E2E_GBPS:
+    base_fmt = "int3" if fmt == "int3-mixed" else fmt
+    if base_fmt not in E2E_GBPS:
         raise ValueError(f"no measured rate for format {fmt!r}")
     tp = chips if chips > 1 else 1
     est = hbm.estimate_model_bytes(
-        cfg, fmt, quantize_lm_head=quantize_lm_head, tp_shards=tp
+        cfg, base_fmt, quantize_lm_head=quantize_lm_head, tp_shards=tp
     )
     L = cfg.num_hidden_layers
     n_exp = cfg.n_routed_experts or cfg.num_local_experts
     stream = est["blocks"]
+    side_bytes = 0
+    if fmt == "int3-mixed":
+        # the int8 side matrices stream at the int8 rate
+        side_bytes = (
+            hbm.estimate_model_bytes(
+                cfg, fmt, quantize_lm_head=quantize_lm_head,
+                tp_shards=tp,
+            )["blocks"]
+            - stream
+        )
     if n_exp:
         expert_bytes = sum(
             hbm.linear_runtime_bytes(
-                g.out_features, g.in_features, fmt, None, 1
+                g.out_features, g.in_features, base_fmt, None, 1
             )
             * g.count
             for g in hbm.model_geometry(cfg)
@@ -191,7 +202,8 @@ def predict_decode_tok_s(
     lm_rate = E2E_GBPS["int8" if quantize_lm_head else "bf16"]
     kv_read = hbm.kv_cache_bytes(cfg, batch, max_seq) / 2
     t = (
-        stream / chips / (E2E_GBPS[fmt] * 1e9)
+        stream / chips / (E2E_GBPS[base_fmt] * 1e9)
+        + side_bytes / chips / (E2E_GBPS["int8"] * 1e9)
         + est["lm_head"] / chips / (lm_rate * 1e9)
         + kv_read / chips / (_V5E_HBM_GBPS * 1e9)
     )
@@ -702,7 +714,9 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--format", default="int4",
-        choices=("int8", "int4", "int3", "bf16", "codebook"),
+        choices=(
+            "int8", "int4", "int3", "int3-mixed", "bf16", "codebook"
+        ),
     )
     ap.add_argument(
         "--vq", default="v8-k65536-256",
@@ -755,7 +769,9 @@ def main(argv=None) -> int:
     table = hbm.budget_table(
         cfg, hbm_bytes=int(args.hbm_gb * hbm.GiB),
         batch=args.batch, max_seq=args.max_seq,
-        formats=("codebook", "int3", "int4", "int8", "bf16"),
+        formats=(
+            "codebook", "int3", "int3-mixed", "int4", "int8", "bf16"
+        ),
         default_vq=vq,
     )
     print(f"# {args.geometry} @ {args.format}, {args.chips} chip(s)")
@@ -804,8 +820,17 @@ def main(argv=None) -> int:
             data=1, model=args.chips,
             devices=np.asarray(jax.devices()[: args.chips]),
         )
+        compile_fmt = args.format
+        if compile_fmt == "int3-mixed":
+            # int3-mixed is single-device calibrated output (under TP
+            # it falls back to site-level mixing, whose graph is the
+            # int3/int8 pair already covered) — validate the int3
+            # base-plan graph
+            print("# compiling the int3 base plan (int3-mixed is a "
+                  "single-device calibrated layout)")
+            compile_fmt = "int3"
         compiled = validate_plan(
-            cfg, args.format, mesh, args.batch, args.max_seq,
+            cfg, compile_fmt, mesh, args.batch, args.max_seq,
             parallel=args.parallel, vq=vq,
         )
         mem = compiled.memory_analysis()

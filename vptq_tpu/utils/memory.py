@@ -83,6 +83,26 @@ def _int3_bytes(out_f: int, in_f: int, row_shards: int = 1) -> int:
     return out_f * in_p * 3 // 8 + 2 * out_f * (in_p // 128)
 
 
+def _int3_mixed_bytes(
+    out_f: int, in_f: int, row_shards: int = 1
+) -> int:
+    """Per-column mixed int3 (layers/runtime.Int3MixedLinear): int3
+    planes over all columns (selected columns hold zeros) + an int8
+    side matrix on INT3_MIXED_COL_FRACTION of the input columns
+    (128-column floor). Under blocked TP the calibrated encoder falls
+    back to site-level mixing, whose byte count depends on the
+    measured ranking — this estimator keeps the column-mixed
+    accounting as the planning number."""
+    from vptq_tpu.layers.runtime import INT3_MIXED_COL_FRACTION
+
+    k = max(128, int(round(in_f * INT3_MIXED_COL_FRACTION)))
+    k = min(((k + 127) // 128) * 128, in_f)
+    # the side matrix encodes at group=128 (calibrate._gptq_layer_
+    # int3_mixed): k int8 cols + f32 scales per 128-col group
+    side = out_f * k + 4 * out_f * ((k + 127) // 128)
+    return _int3_bytes(out_f, in_f, row_shards) + side
+
+
 def _codebook_bytes(cfg) -> int:
     """Exact byte count of a normalized VQLinear (loader layout).
 
@@ -130,6 +150,8 @@ def linear_runtime_bytes(
         return _int4_bytes(out_f, in_f, row_shards)
     if fmt == "int3":
         return _int3_bytes(out_f, in_f, row_shards)
+    if fmt == "int3-mixed":
+        return _int3_mixed_bytes(out_f, in_f, row_shards)
     if fmt == "bf16":
         return 2 * out_f * in_f
     if fmt == "codebook":
