@@ -309,7 +309,23 @@ def main():
             sched.submit(reqs[0][:8], max_new_tokens=4)
         for _ in range(4):
             sched.submit(reqs[0][:80], max_new_tokens=4)
-        sched.run()
+        for attempt in range(3):
+            # the tunnel's remote_compile sporadically drops the
+            # connection on the big batched-prefill compile right
+            # after the multi-GB model upload — transient; the
+            # scheduler state stays consistent (the failed admission
+            # is still queued), so retrying run() recompiles and
+            # continues
+            try:
+                sched.run()
+                break
+            except Exception as e:  # noqa: BLE001
+                if "remote_compile" not in str(e) or attempt == 2:
+                    raise
+                print(
+                    f"# warmup retry {attempt + 1}: transient "
+                    f"tunnel compile error", file=sys.stderr,
+                )
         for k in sched.stats:
             sched.stats[k] = 0 if isinstance(
                 sched.stats[k], int) else 0.0

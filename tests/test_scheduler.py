@@ -83,12 +83,20 @@ def test_no_head_of_line_blocking(tmp_path):
 
     events = []
     inner_prefill = sched._prefill_one
+    inner_batch = sched._prefill_fresh_batch
 
     def logged_prefill(*a, **kw):
         events.append("prefill")
         return inner_prefill(*a, **kw)
 
+    def logged_batch(*a, **kw):
+        # fresh single-bucket admissions (incl. singletons) ride the
+        # padded batched executable
+        events.append("prefill")
+        return inner_batch(*a, **kw)
+
     sched._prefill_one = logged_prefill
+    sched._prefill_fresh_batch = logged_batch
 
     # short active request first
     sched.submit(

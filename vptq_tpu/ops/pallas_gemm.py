@@ -1114,7 +1114,13 @@ def w3_matmul(
     for d in lead_shape:
         tokens *= d
     x2 = x.reshape(tokens, in_features)
-    t_tile = min(_round_up(max(tokens, 1), 16), 512)
+    # token tile capped at 256 (w8/w4 use 512): this kernel holds 12
+    # zero-copy x views (4 quarter + 8 octant) PLUS the f32 scratch
+    # per token tile — at 512 the double-buffered set overflows the
+    # 16 MB scoped-VMEM budget (measured: 20.5 MB compiling a 512-row
+    # batched admission prefill, 7B qkv shape). Decode (<=16 rows) is
+    # untouched; prefill just takes 2x the token grid steps.
+    t_tile = min(_round_up(max(tokens, 1), 16), 256)
     t_pad = _round_up(max(tokens, 1), t_tile)
     if t_pad != tokens:
         x2 = jnp.pad(x2, ((0, t_pad - tokens), (0, 0)))

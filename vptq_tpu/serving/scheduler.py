@@ -502,7 +502,9 @@ class Scheduler:
         Fresh single-bucket admissions landing in the same bucket are
         BATCHED into one prefill call (one weight pass instead of one
         per request — an admission burst into B free slots used to
-        serialize B batch-1 prefills between decode chunks).
+        serialize B batch-1 prefills between decode chunks). Singleton
+        admissions use the same padded call, so the jit cache holds
+        exactly one fresh-prefill executable per bucket.
         """
         # bound prefill work between decode chunks: advance at most
         # admit_parallel admissions (FIFO) per step, so one active
@@ -525,8 +527,12 @@ class Scheduler:
                     grouped.setdefault(b, []).append(adm)
         in_group = set()
         for bucket, grp in grouped.items():
-            if len(grp) < 2:
-                continue
+            # singletons ride the SAME padded executable: one
+            # compiled shape per bucket for every fresh single-bucket
+            # admission (a singleton falling back to a batch-1
+            # prefill is a separate executable — one un-warmed
+            # admission then pays an in-run XLA compile, measured as
+            # a 10x serving-throughput cliff)
             self._prefill_group(grp, bucket)
             for adm in grp:
                 in_group.add(id(adm))
@@ -540,7 +546,7 @@ class Scheduler:
     def _prefill_group(
         self, grp: List[_Admission], bucket: int
     ) -> None:
-        """One batched fresh prefill for 2+ same-bucket admissions.
+        """One batched fresh prefill for same-bucket admissions.
 
         The batch is padded to ``admit_parallel`` rows so the jit
         cache holds one executable per bucket, not one per group size.
