@@ -286,6 +286,65 @@ def test_int3_mixed_beats_int4_on_outlier_channels(tmp_path):
         assert bits <= 4.0, (o, i, bits)
 
 
+def test_int3_mixed_under_tp(midsize):
+    """The per-column contract survives blocked shard_map TP:
+    row-parallel sites (o/down) select the same column count per
+    input shard and gather via shard-local col_idx; the placed model's
+    calibrated quality matches the single-device encode (per-shard
+    GPTQ finds a different, equally valid feedback solution)."""
+    import jax
+
+    from vptq_tpu.layers.runtime import Int3MixedLinear
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.parallel.sharding import make_mesh
+    from vptq_tpu.parallel.tp import (
+        forward_tp,
+        shard_cache_tp,
+        tp_specs,
+    )
+
+    mesh = make_mesh(
+        data=1, model=2, devices=np.asarray(jax.devices()[:2])
+    )
+    model_tp = load_model(
+        midsize, runtime_format="int3-mixed", calibration=512,
+        mesh=mesh, parallel="tp",
+    )
+    # row-parallel sites keep the per-column format (no site-level
+    # fallback), with shard-local ids and shard-uniform counts
+    down = model_tp.blocks[0].mlp.down_proj
+    assert isinstance(down, Int3MixedLinear), type(down)
+    idx = np.asarray(jax.device_get(down.col_idx))
+    assert idx.size % 2 == 0
+    blk = 1024 // 2  # midsize intermediate / TP size
+    assert idx.max() < blk  # shard-LOCAL ids
+
+    single = load_model(
+        midsize, runtime_format="int3-mixed", calibration=512
+    )
+    exact = load_model(
+        midsize, runtime_format="codebook",
+        dtype=jnp.float32, fuse=False,
+    )
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(
+        rng.integers(0, exact.cfg.vocab_size, (1, 32)), jnp.int32
+    )
+    lcb = _batch_logits(exact, tokens)
+    l_single = _batch_logits(single, tokens)
+
+    cache_tp = shard_cache_tp(init_cache(single.cfg, 1, 40), mesh)
+    with mesh:
+        l_tp, _ = forward_tp(
+            model_tp, tokens, cache_tp, tp_specs(model_tp), mesh
+        )
+    l_tp = np.asarray(l_tp, np.float64)
+
+    kl_single = _kl(lcb, l_single)
+    kl_tp = _kl(lcb, l_tp)
+    assert kl_tp < kl_single * 1.5, (kl_tp, kl_single)
+
+
 def test_calibrated_vq_lm_head_converted(tmp_path):
     """A checkpoint whose lm_head is itself VPTQ-quantized must not
     keep a VQLinear lm_head in the calibrated output (that would pay

@@ -1,6 +1,7 @@
 """Unit tests for the GPTQ error-feedback encoder (quant/gptq.py)."""
 
 import numpy as np
+import pytest
 
 from vptq_tpu.ops.packing import quantize_int4
 from vptq_tpu.quant.gptq import (
@@ -138,3 +139,51 @@ def test_int3_identity_matches_rtn_grid():
     q, sc = gptq_quantize(w, None, bits=3)
     np.testing.assert_array_equal(q, q_rtn)
     np.testing.assert_allclose(sc, s_rtn.reshape(sc.shape))
+
+
+@pytest.mark.slow
+def test_hessian_path_scales_to_r1_geometry():
+    """The calibration scaling axis at DeepSeek-R1's down_proj input
+    dim (in=18432, the largest in-features the planner advertises;
+    70B's 28672 is the same code path, VERDICT r3 item 1c).
+
+    What scales with in_features (and is validated here at full size):
+    the (in,in) Hessian buffer — f32 ONLY, ~1.3 GB here (the r2 code
+    held an f64 copy, ~6.6 GB transient at this shape) — the chunked
+    rank-k accumulation (calibrate._Hess.CHUNK bounds the staging
+    copy), and the flip-trick f32 Cholesky+trtri (gptq.
+    _cholesky_inv_upper). out_features only scales the per-row encode
+    linearly and is kept small, so this runs in minutes, not hours.
+    """
+    from vptq_tpu.quant.calibrate import _Hess
+
+    import jax.numpy as jnp
+
+    n = 18432
+    rng = np.random.default_rng(0)
+    hess = _Hess(n)
+    for _ in range(2):
+        x = jnp.asarray(
+            rng.standard_normal((4096, n)).astype(np.float32) * 0.5
+        )
+        hess.update(x)
+    assert hess.h.dtype == np.float32
+    assert hess.count == 8192
+
+    out = 64
+    w = (rng.standard_normal((out, n)) * 0.02).astype(np.float32)
+    q, s = gptq_quantize(w, hess.h, bits=4, group=128)
+    assert q.shape == (out, n) and np.abs(q).max() <= 7
+    w_hat = dequant_groups(q, s, group_spans(n, 128))
+    assert np.all(np.isfinite(w_hat))
+
+    # feedback must stay inside RTN's OUTPUT-error envelope under H
+    # (the quantity GPTQ minimizes; 8192 samples < in=18432 makes H
+    # rank-deficient — the realistic case — so weight-space error is
+    # NOT controlled: null-space feedback drift is free and measured
+    # ~2.7x RTN's weight RMS while output error still improves)
+    q0, s0 = gptq_quantize(w, None, bits=4, group=128)
+    w0 = dequant_groups(q0, s0, group_spans(n, 128))
+    e = output_error_ratio(w, w_hat, hess.h)
+    e0 = output_error_ratio(w, w0, hess.h)
+    assert e <= e0 * 1.05, (e, e0)

@@ -306,6 +306,13 @@ class Int3MixedLinear:
     to fix int3's fidelity; column granularity targets the actual
     error mass (input-channel outliers clipped by the asymmetric
     [-4,3] range) at ~4.0 bits/weight.
+
+    Under blocked shard_map TP (parallel/tp.py) row-parallel sites
+    select the SAME column count inside every contiguous input shard
+    and ``col_idx`` holds SHARD-LOCAL ids (each device gathers from
+    its local activation slice); such a blocked instance is a
+    placement-only artifact — calling it single-device computes
+    garbage, exactly like the blocked int3/int4/int8 encodings.
     """
 
     int3: Int3Linear

@@ -63,6 +63,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vptq_tpu.layers.dense import DenseLinear
 from vptq_tpu.layers.runtime import (
     Int3Linear,
+    Int3MixedLinear,
     Int4Linear,
     Int8Linear,
     _encode_int3,
@@ -173,6 +174,15 @@ def _permute_out(layer, perm: np.ndarray):
             scales=_host(layer.scales)[perm],
             bias=None if layer.bias is None else _host(layer.bias)[perm],
         )
+    if isinstance(layer, Int3MixedLinear):
+        # both sides are row-major over out_features; the column
+        # selection is input-side and unaffected
+        return Int3MixedLinear(
+            int3=_permute_out(layer.int3, perm),
+            int8=_permute_out(layer.int8, perm),
+            col_idx=layer.col_idx,
+            bias=None if layer.bias is None else _host(layer.bias)[perm],
+        )
     if isinstance(layer, DenseLinear):
         return DenseLinear(
             weight=_host(layer.weight)[perm],
@@ -212,6 +222,21 @@ def _col_parallel(layer, mesh, axis, perm: Optional[np.ndarray] = None):
             bias=None if layer.bias is None else P(axis),
         )
         return placed, spec
+    if isinstance(layer, Int3MixedLinear):
+        # out axis shards both sides; the column selection gathers
+        # from the REPLICATED activations, so col_idx replicates
+        p3, s3 = _col_parallel(layer.int3, mesh, axis)
+        p8, s8 = _col_parallel(layer.int8, mesh, axis)
+        placed = Int3MixedLinear(
+            int3=p3, int8=p8,
+            col_idx=_put(layer.col_idx, mesh, P()),
+            bias=_put(layer.bias, mesh, P(axis)),
+        )
+        spec = Int3MixedLinear(
+            int3=s3, int8=s8, col_idx=P(),
+            bias=None if layer.bias is None else P(axis),
+        )
+        return placed, spec
     if isinstance(layer, DenseLinear):
         placed = DenseLinear(
             weight=_put(layer.weight, mesh, P(axis, None)),
@@ -248,6 +273,46 @@ def _row_parallel(
             "supported family needs it: llama/mistral/qwen2/phi3 "
             "o_proj/down_proj are bias-free)"
         )
+    if isinstance(layer, Int3MixedLinear):
+        if reencode:
+            raise NotImplementedError(
+                "row-parallel int3-mixed must come pre-blocked from "
+                "the calibrated encoder (load with calibration= and "
+                "a TP mesh, quant/calibrate.py tp_shards) — an RTN "
+                "re-encode would discard the calibrated column "
+                "selection"
+            )
+        # calibrated blocked form: int3 planes shard their in axis,
+        # the int8 side matrix holds each shard's selected columns
+        # contiguously (wq in-axis sharded, per-shard scale rows),
+        # col_idx carries SHARD-LOCAL ids into the local x block
+        placed = Int3MixedLinear(
+            int3=Int3Linear(
+                wq2=_put(layer.int3.wq2, mesh, P(None, axis)),
+                wq1=_put(layer.int3.wq1, mesh, P(None, axis)),
+                scales=_put(layer.int3.scales, mesh, P(None, axis)),
+                bias=None,
+            ),
+            int8=Int8Linear(
+                wq=_put(layer.int8.wq, mesh, P(None, axis)),
+                scales=_put(layer.int8.scales, mesh, P(axis, None)),
+                bias=None,
+            ),
+            col_idx=_put(layer.col_idx, mesh, P(axis)),
+            bias=None,
+        )
+        spec = Int3MixedLinear(
+            int3=Int3Linear(
+                wq2=P(None, axis), wq1=P(None, axis),
+                scales=P(None, axis), bias=None,
+            ),
+            int8=Int8Linear(
+                wq=P(None, axis), scales=P(axis, None), bias=None
+            ),
+            col_idx=P(axis),
+            bias=None,
+        )
+        return placed, spec
     if not reencode and isinstance(
         layer, (Int8Linear, Int4Linear, Int3Linear)
     ):
@@ -306,6 +371,8 @@ def _out_features(lin) -> int:
         return int(lin.weight.shape[0])
     if isinstance(lin, Int3Linear):
         return int(lin.wq2.shape[0])
+    if isinstance(lin, Int3MixedLinear):
+        return int(lin.int3.wq2.shape[0])
     return int(lin.wq.shape[0])
 
 

@@ -407,6 +407,7 @@ def _select_cols(
     weights: List[np.ndarray],
     hess: Optional[np.ndarray],
     col_frac: float,
+    shards: int = 1,
 ) -> np.ndarray:
     """Top-sensitivity input COLUMNS of one site (joint over members,
     so q|k|v share one selection and stay fusable).
@@ -420,6 +421,11 @@ def _select_cols(
     int3 group re-tighten its absmax scale (the encode zeroes them
     before picking scales). Floor of 128 columns keeps the int8 side
     matmul kernel-shaped.
+
+    ``shards > 1`` (blocked shard_map TP, row-parallel sites): the
+    SAME count is selected inside every contiguous column shard, so
+    each device's local gather + int8 side matmul has a static
+    shard-uniform shape. Returned columns are global, shard-major.
     """
     in_f = weights[0].shape[1]
     col_e = np.zeros(in_f, np.float64)
@@ -429,43 +435,80 @@ def _select_cols(
         col_e *= np.asarray(
             np.einsum("ii->i", np.asarray(hess)), np.float64
         )[:in_f]
-    k = max(128, int(round(in_f * col_frac)))
-    k = min(((k + 127) // 128) * 128, in_f)  # 128-multiple (pad-free
-    # int8 side at group=128), capped at the full input
-    cols = np.sort(np.argsort(col_e)[::-1][:k])
+    if in_f % shards:
+        raise ValueError(
+            f"in_features {in_f} does not divide {shards} TP shards"
+        )
+    blk = in_f // shards
+    k = max(128, int(round(blk * col_frac)))
+    k = ((k + 127) // 128) * 128  # 128-multiple: pad-free int8 side
+    # at group=128
+    if blk < 128:
+        # tiny geometry (tests/toys): every column goes int8, the
+        # side encode zero-pads its scale group
+        k = blk
+    else:
+        k = min(k, blk - blk % 128 if blk % 128 else blk)
+    cols = np.concatenate([
+        s * blk
+        + np.sort(np.argsort(col_e[s * blk: (s + 1) * blk])[::-1][:k])
+        for s in range(shards)
+    ])
     return cols.astype(np.int32)
 
 
-def _gptq_layer_int3_mixed(w, bias, hess, damp, cols):
+def _gptq_layer_int3_mixed(w, bias, hess, damp, cols, shards=1):
     """Column-block mixed encode: int8 on ``cols``, int3 elsewhere.
 
     The selected columns are zeroed (weights AND Hessian rows/cols)
     for the int3 pass — they are dead inputs there, carried exactly
     by the int8 side matrix instead.
+
+    ``shards > 1`` (blocked shard_map TP): ``cols`` holds the same
+    count per contiguous column shard (see :func:`_select_cols`); the
+    int3 planes encode blocked, the int8 side matrix encodes per
+    shard (its scale groups never straddle a shard boundary), and
+    ``col_idx`` stores SHARD-LOCAL column ids — inside ``shard_map``
+    each device gathers from its local activation slice. The blocked
+    output is a placement-only artifact (parallel/tp.py
+    ``_row_parallel(reencode=False)``), exactly like the blocked
+    int3/int4/int8 encodings.
     """
     from vptq_tpu.layers.runtime import Int3MixedLinear, int8_from_q
 
-    w8 = np.ascontiguousarray(w[:, cols])
-    h8 = (
-        None
-        if hess is None
-        else np.ascontiguousarray(hess[np.ix_(cols, cols)])
+    # per-shard side encode at group=128 (the per-shard column count
+    # is a 128-multiple by construction for real geometries — no
+    # padding, and no scale group straddles a shard boundary; tiny
+    # toy widths below 128 zero-pad their single group)
+    k_s = len(cols) // shards
+    blk = w.shape[1] // shards
+    q8s, s8s, hat8s = [], [], []
+    for s in range(shards):
+        cs = cols[s * k_s: (s + 1) * k_s]
+        w8 = np.ascontiguousarray(w[:, cs])
+        h8 = (
+            None
+            if hess is None
+            else np.ascontiguousarray(hess[np.ix_(cs, cs)])
+        )
+        pad = (-k_s) % 128
+        if pad:
+            w8 = np.pad(w8, ((0, 0), (0, pad)))
+            if h8 is not None:
+                h8p = np.zeros((k_s + pad, k_s + pad), h8.dtype)
+                h8p[:k_s, :k_s] = h8
+                h8 = h8p
+        q8, s8 = gptq_quantize(w8, h8, bits=8, group=128, damp=damp)
+        q8s.append(q8)
+        s8s.append(s8)
+        hat8s.append(
+            dequant_groups(
+                q8, s8, group_spans(w8.shape[1], 128)
+            )[:, :k_s]
+        )
+    lin8 = int8_from_q(
+        np.concatenate(q8s, axis=1), np.concatenate(s8s, axis=1), None
     )
-    # group=128 side encode: the selected column count is a
-    # 128-multiple by construction, so pick_group's >=512 floor would
-    # only add zero padding (up to 50% of the side bytes)
-    pad = (-w8.shape[1]) % 128
-    w8p = np.pad(w8, ((0, 0), (0, pad))) if pad else w8
-    h8p = h8
-    if h8 is not None and pad:
-        n8 = w8.shape[1]
-        h8p = np.zeros((n8 + pad, n8 + pad), h8.dtype)
-        h8p[:n8, :n8] = h8
-    q8, s8 = gptq_quantize(w8p, h8p, bits=8, group=128, damp=damp)
-    w_hat8 = dequant_groups(
-        q8, s8, group_spans(w8p.shape[1], 128)
-    )[:, : w8.shape[1]]
-    lin8 = int8_from_q(q8, s8, None)
 
     w3 = w.copy()
     w3[:, cols] = 0.0
@@ -474,11 +517,21 @@ def _gptq_layer_int3_mixed(w, bias, hess, damp, cols):
         h3 = np.asarray(hess).copy()
         h3[cols, :] = 0.0
         h3[:, cols] = 0.0
-    lin3, w_hat = _gptq_layer(3, w3, None, h3, damp)
-    w_hat[:, cols] = w_hat8
+    if shards > 1:
+        lin3, w_hat = _gptq_layer_blocked(3, w3, None, h3, damp, shards)
+    else:
+        lin3, w_hat = _gptq_layer(3, w3, None, h3, damp)
+    w_hat[:, cols] = np.concatenate(hat8s, axis=1)
+    col_idx = np.asarray(cols, np.int64)
+    if shards > 1:
+        # shard-local ids: device d's slice of col_idx indexes its
+        # local x block
+        col_idx = col_idx - np.repeat(
+            np.arange(shards, dtype=np.int64) * blk, k_s
+        )
     lin = Int3MixedLinear(
         int3=lin3, int8=lin8,
-        col_idx=jnp.asarray(cols), bias=bias,
+        col_idx=jnp.asarray(col_idx.astype(np.int32)), bias=bias,
     )
     return lin, w_hat
 
@@ -506,15 +559,17 @@ def _quantize_site(
     err_hess = hess if int8_threshold is not None else None
 
     if col_frac is not None:
-        # column-block mixed int3 (single-device int3-mixed): one
-        # joint selection per site so fusion survives
+        # column-block mixed int3: one joint selection per site so
+        # fusion survives; row-parallel sites under TP select and
+        # encode per shard (shard-local col_idx, blocked planes)
         cols = _select_cols(
-            [w for _p, w, _b in weights], hess, col_frac
+            [w for _p, w, _b in weights], hess, col_frac,
+            shards=row_shards,
         )
         out, errs = [], []
         for path, w, bias in weights:
             lin, w_hat = _gptq_layer_int3_mixed(
-                w, bias, hess, damp, cols
+                w, bias, hess, damp, cols, shards=row_shards
             )
             errs.append(output_error_ratio(w, w_hat, err_hess))
             out.append((path, lin))
@@ -649,12 +704,12 @@ def quantize_model_calibrated(
     if fmt not in ("int4", "int4-mixed", "int3", "int3-mixed", "int8"):
         raise ValueError(f"unsupported calibrated format {fmt!r}")
     col_frac = None
-    if fmt == "int3-mixed" and tp_shards == 1:
+    if fmt == "int3-mixed":
         # column-block mixing (the sub-4-bit fidelity path): the
         # int8_fraction knob is the COLUMN-group fraction here. Under
-        # blocked shard_map TP the format falls back to site-level
-        # mixing (the blocked per-shard layout has no mixed-column
-        # contract yet).
+        # blocked shard_map TP, row-parallel sites select the same
+        # column count per shard and store shard-local ids (see
+        # _gptq_layer_int3_mixed).
         from vptq_tpu.layers.runtime import INT3_MIXED_COL_FRACTION
 
         col_frac = (

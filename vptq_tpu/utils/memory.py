@@ -88,18 +88,20 @@ def _int3_mixed_bytes(
 ) -> int:
     """Per-column mixed int3 (layers/runtime.Int3MixedLinear): int3
     planes over all columns (selected columns hold zeros) + an int8
-    side matrix on INT3_MIXED_COL_FRACTION of the input columns
-    (128-column floor). Under blocked TP the calibrated encoder falls
-    back to site-level mixing, whose byte count depends on the
-    measured ranking — this estimator keeps the column-mixed
-    accounting as the planning number."""
+    side matrix on INT3_MIXED_COL_FRACTION of the input columns.
+    Under blocked TP the selection runs per shard with a 128-column
+    floor EACH (calibrate._select_cols), so high TP degrees pay a
+    slightly larger side matrix."""
     from vptq_tpu.layers.runtime import INT3_MIXED_COL_FRACTION
 
-    k = max(128, int(round(in_f * INT3_MIXED_COL_FRACTION)))
-    k = min(((k + 127) // 128) * 128, in_f)
+    blk = in_f // row_shards if row_shards > 1 else in_f
+    k_s = max(128, int(round(blk * INT3_MIXED_COL_FRACTION)))
+    k_s = ((k_s + 127) // 128) * 128
+    k_s = min(k_s, blk - blk % 128 if blk % 128 else blk)
+    k = k_s * max(1, row_shards)
     # the side matrix encodes at group=128 (calibrate._gptq_layer_
     # int3_mixed): k int8 cols + f32 scales per 128-col group
-    side = out_f * k + 4 * out_f * ((k + 127) // 128)
+    side = out_f * k + 4 * out_f * (k // 128)
     return _int3_bytes(out_f, in_f, row_shards) + side
 
 
