@@ -129,6 +129,42 @@ def build_7b_int8(rng, fmt="int8", geometry="llama2-7b"):
                 ),
                 bias=None,
             )
+        if (f or fmt) == "int3mixed":
+            # int3-mixed decode: int3 planes + the per-column int8
+            # side matrix (layers/runtime.Int3MixedLinear). Decode
+            # tok/s depends only on bytes/layout, so a uniform column
+            # selection stands in for the calibrated one: the same
+            # 128-multiple count _select_cols picks at
+            # INT3_MIXED_COL_FRACTION.
+            from vptq_tpu.layers.runtime import (
+                INT3_MIXED_COL_FRACTION,
+                Int3MixedLinear,
+                Int8Linear as _I8,
+            )
+
+            k = max(128, int(round(in_f * INT3_MIXED_COL_FRACTION)))
+            k = min(((k + 127) // 128) * 128, in_f)
+            key_holder[0], k3, k4 = jax.random.split(key_holder[0], 3)
+            side = _I8(
+                wq=jax.random.randint(
+                    k3, (out_f, k), -127, 128, dtype=jnp.int8
+                ),
+                scales=0.005 * (
+                    1 + jax.random.uniform(
+                        k4, (k // 128, out_f), jnp.float32
+                    )
+                ),
+                bias=None,
+            )
+            cols = jnp.asarray(
+                np.linspace(0, in_f - 1, k).astype(np.int32)
+            )
+            return Int3MixedLinear(
+                int3=lin(in_f, out_f, f="int3"),
+                int8=side,
+                col_idx=cols,
+                bias=None,
+            )
         if (f or fmt) == "int4":
             in_p = in_f + ((-in_f) % 2048)
             wq = jax.random.randint(
@@ -248,6 +284,8 @@ def main():
     fmt = "int8"
     if "--int4" in sys.argv:
         fmt = "int4"
+    elif "--int3-mixed" in sys.argv:
+        fmt = "int3mixed"
     elif "--int3" in sys.argv:
         fmt = "int3"
     elif "--mixed" in sys.argv:
@@ -258,9 +296,15 @@ def main():
     prompt_len = 512
     calibrated_dir = None
     geometry = "llama2-7b"
+    chunk = 16
+    depth = 2
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
+        if a.startswith("--chunk="):
+            chunk = int(a.split("=")[1])
+        if a.startswith("--depth="):
+            depth = int(a.split("=")[1])
         if a.startswith("--prompt="):
             prompt_len = int(a.split("=")[1])
         if a.startswith("--calibrated="):
@@ -293,8 +337,8 @@ def main():
 
         rng2 = np.random.default_rng(7)
         sched = Scheduler(
-            model, max_batch=8, max_seq=256, chunk=16,
-            prompt_buckets=(64, 128),
+            model, max_batch=8, max_seq=256, chunk=chunk,
+            depth=depth, prompt_buckets=(64, 128),
         )
         reqs = [
             rng2.integers(
@@ -340,7 +384,9 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"llama2_7b_serving_tok_s_{fmt}_slots8",
+                    "metric": f"llama2_7b_serving_tok_s_{fmt}_slots8"
+                    + (f"_c{chunk}" if chunk != 16 else "")
+                    + (f"_d{depth}" if depth != 2 else ""),
                     "value": round(total / dt, 2),
                     "unit": "tok/s",
                     "vs_baseline": round(
@@ -354,6 +400,9 @@ def main():
                     "dispatch_s": round(s["dispatch_s"], 2),
                     "admit_s": round(s["admit_s"], 2),
                     "batched_admissions": s["batched_admissions"],
+                    "prefill_ahead": s["prefill_ahead"],
+                    "steps": s["steps"],
+                    "chunks": s["chunks"],
                 }
             )
         )

@@ -27,25 +27,48 @@ def timeit(fn, x, n=50):
     """Device time per call of ``fn(x)``: n iterations inside one
     jitted fori_loop — the input is perturbed per iteration so XLA
     cannot hoist the call out of the loop — with one host sync at the
-    end; the measured sync floor is subtracted."""
+    end; the measured sync floor is subtracted.
+
+    ``n`` auto-scales until the loop's device time dominates the
+    tunnel sync floor (observed RTT through the axon tunnel varies
+    2-30 ms day to day; a 50-iteration loop of a ~10 us op would be
+    pure RTT jitter)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def run(x0):
-        def body(i, s):
-            xi = x0 * (1.0 + i.astype(x0.dtype) * 1e-12)
-            out = fn(xi)
-            return s + jnp.sum(out.astype(jnp.float32)) * 1e-30
+    def build(n):
+        @jax.jit
+        def run(x0):
+            def body(i, s):
+                xi = x0 * (1.0 + i.astype(x0.dtype) * 1e-12)
+                out = fn(xi)
+                return s + jnp.sum(out.astype(jnp.float32)) * 1e-30
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        return run
 
     @jax.jit
     def tiny(v):
         return jnp.sum(v)
 
+    run = build(n)
     float(run(x))  # compile+warm
     float(tiny(x))
+    t0 = time.perf_counter()
+    float(tiny(x))
+    floor0 = time.perf_counter() - t0
+    # grow n until the measured loop is >= 4x the sync floor
+    while True:
+        t0 = time.perf_counter()
+        float(run(x))
+        total = time.perf_counter() - t0
+        if total - floor0 >= 4 * floor0 or n >= 25600:
+            break
+        n *= 4
+        run = build(n)
+        float(run(x))  # recompile+warm
+
     floors, times = [], []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -363,3 +363,30 @@ def test_scheduler_int3_runtime_format(tmp_path):
     res = sched.run()
     for rid, ref in zip(ids, singles):
         assert res[rid] == ref, (rid, res[rid], ref)
+
+
+def test_prefill_ahead_over_full_slots(tmp_path):
+    """With every slot occupied, pending requests still prefill
+    (slotless, into their own batch-1 caches) and install instantly
+    at retirement — the wave-boundary occupancy bubble measured in
+    bench --serving. Output must still match single-sequence
+    generation exactly."""
+    model = _model(tmp_path)
+    gen = Generator(model, max_seq=64, dtype=jnp.float32,
+                    prompt_buckets=(16,))
+    prompts = [
+        [1, 2, 3], [9, 8, 7, 6, 5], [42, 43], [13, 14, 15, 16],
+        [7], [200, 201, 202],
+    ]
+    singles = [gen.generate(p, max_new_tokens=8) for p in prompts]
+
+    # 2 slots, 6 requests: 4 of them can only start prefill-ahead
+    sched = Scheduler(
+        model, max_batch=2, max_seq=64, dtype=jnp.float32, chunk=4,
+        prompt_buckets=(16,), admit_parallel=4,
+    )
+    ids = [sched.submit(p, max_new_tokens=8) for p in prompts]
+    res = sched.run()
+    assert sched.stats["prefill_ahead"] >= 2, sched.stats
+    for rid, want in zip(ids, singles):
+        assert res[rid] == want, (rid, res[rid], want)

@@ -96,15 +96,31 @@ class _Admission:
     """An in-flight chunked prefill for one pending request.
 
     Lives across ``step()`` calls so active slots keep decoding while
-    a long prompt prefills one bucket at a time.
+    a long prompt prefills one bucket at a time. ``slot`` is ``None``
+    for a PREFILL-AHEAD admission: all slots were occupied at claim
+    time, so the prefill runs against its own batch-1 cache anyway
+    and the finished request parks in ``Scheduler._ready`` until a
+    slot retires — the wave-boundary bubble (decode chunks at partial
+    occupancy while the next wave prefills) becomes one instant
+    ``_insert_slot`` per retirement.
     """
 
     req: Request
-    slot: int
+    slot: Optional[int]
     done: int = 0  # prompt tokens prefilled so far
     last_len: int = 0  # real tokens in the latest chunk
     cache1: Optional[KVCache] = None
     logits: Optional[jnp.ndarray] = None
+
+
+@dataclasses.dataclass
+class _Ready:
+    """A fully-prefilled request waiting for a free slot."""
+
+    req: Request
+    cache1: KVCache
+    plen: int
+    first: jnp.ndarray  # () int32 device scalar — first sampled token
 
 
 @functools.partial(
@@ -280,12 +296,16 @@ class Scheduler:
             "steps": 0,
             "chunks": 0,
             "batched_admissions": 0,
+            "prefill_ahead": 0,
         }
         # concurrent in-flight admissions (one per claimed free slot):
         # each advances ONE prefill bucket per step, so slot occupancy
         # ramps in ~1 chunk instead of one admission per chunk
         # (half-empty decode chunks cost full compute)
         self._admissions: List[_Admission] = []
+        # prefill-ahead output: fully-prefilled requests parked until
+        # a slot retires
+        self._ready: List[_Ready] = []
         # device-carried last token per slot: the decode chain's input
         # stays on device across chunks (never synced for dispatch)
         self._tok_dev = jnp.zeros((max_batch,), jnp.int32)
@@ -435,9 +455,15 @@ class Scheduler:
 
     def _start_admission(self) -> None:
         """Claim free slots for pending requests (one admission per
-        free slot; all advance concurrently, a bucket per step)."""
+        free slot; all advance concurrently, a bucket per step). With
+        every slot occupied, up to ``admit_parallel`` requests still
+        start PREFILL-AHEAD (slotless) so retirements install a ready
+        request instantly instead of idling decode chunks through the
+        next wave's prefill."""
         while self.pending:
-            claimed = {a.slot for a in self._admissions}
+            claimed = {
+                a.slot for a in self._admissions if a.slot is not None
+            }
             slot = next(
                 (
                     s
@@ -447,7 +473,12 @@ class Scheduler:
                 None,
             )
             if slot is None:
-                return
+                ahead = (
+                    sum(1 for a in self._admissions if a.slot is None)
+                    + len(self._ready)
+                )
+                if ahead >= self.admit_parallel:
+                    return
             if self.prefix_cache is not None and self._admissions:
                 # an in-flight admission sharing this prompt's first
                 # block hasn't inserted its prefix yet — admitting now
@@ -597,10 +628,10 @@ class Scheduler:
         return True
 
     def _finish_admission(self, adm: _Admission) -> None:
-        """Prefill complete: install the request into its slot."""
+        """Prefill complete: install into the slot, or park in the
+        ready queue (prefill-ahead) until one retires."""
         req = adm.req
         plen = len(req.prompt)
-        slot = adm.slot
         if self.prefix_cache is not None:
             self.prefix_cache.insert(
                 req.prompt,
@@ -616,10 +647,32 @@ class Scheduler:
             ).astype(jnp.int32)
         else:
             first = jnp.argmax(first_logits).astype(jnp.int32)
+        if adm.slot is None:
+            self._ready.append(
+                _Ready(req=req, cache1=adm.cache1, plen=plen,
+                       first=first)
+            )
+            self.stats["prefill_ahead"] += 1
+            return
+        self._install(req, adm.cache1, plen, first, adm.slot)
+
+    def _install_ready(self) -> None:
+        """Move parked prefill-ahead requests into freed slots."""
+        while self._ready:
+            slot = self._free_slot()
+            if slot is None:
+                return
+            r = self._ready.pop(0)
+            self._install(r.req, r.cache1, r.plen, r.first, slot)
+
+    def _install(
+        self, req: Request, cache1: KVCache, plen: int,
+        first: jnp.ndarray, slot: int,
+    ) -> None:
         self.cache = self._insert_slot(
             self.cache,
-            adm.cache1.k,
-            adm.cache1.v,
+            cache1.k,
+            cache1.v,
             jnp.asarray(slot, jnp.int32),
             jnp.asarray(plen, jnp.int32),
         )
@@ -752,6 +805,7 @@ class Scheduler:
 
         self.stats["steps"] += 1
         t0 = _time.perf_counter()
+        self._install_ready()
         self._start_admission()
         self._advance_admission()
         # an admission that just completed frees the machinery for the
@@ -776,6 +830,7 @@ class Scheduler:
             self.pending
             or self.num_active
             or self._admissions
+            or self._ready
             or self._inflight
         ):
             self.step()
