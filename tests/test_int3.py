@@ -211,3 +211,40 @@ def test_int3_budget_70b_two_chips():
     kv = hbm.kv_cache_bytes(cfg, 1, 2048)
     per_chip = (est["total"] + kv) / 2
     assert per_chip < 0.9 * 16 * hbm.GiB, per_chip / hbm.GiB
+
+
+def test_w3_matmul_prefill_token_tiling():
+    """512-row inputs (a batched admission prefill: admit_parallel=4
+    x a 128-token bucket) must tile the token axis at 256 — at 512
+    the kernel's 12 x-views + f32 scratch overflowed the 16 MB
+    scoped-VMEM budget on the chip (round-4 serving OOM). Interpret
+    mode checks the multi-token-tile grid math stays exact."""
+    os.environ["VPTQ_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        from vptq_tpu.ops.pallas_gemm import w3_matmul
+
+        rng = np.random.default_rng(9)
+        out_f, in_f = 256, 1024
+        w = rng.normal(0, 0.02, (out_f, in_f)).astype(np.float32)
+        q, s = quantize_int3(w)
+        p2, p1 = pack_int3(q)
+        x = jnp.asarray(rng.normal(0, 1, (512, in_f)), jnp.float32)
+
+        got = np.asarray(
+            w3_matmul(
+                x, jnp.asarray(p2), jnp.asarray(p1),
+                jnp.asarray(s, jnp.bfloat16),
+                out_tile=256, in_tile=1024, out_dtype=jnp.float32,
+            )
+        )
+        assert got.shape == (512, out_f)
+        w_hat = (
+            q.astype(np.float32).reshape(out_f, -1, 128)
+            * s[:, :, None]
+        ).reshape(out_f, in_f)
+        want = np.asarray(
+            jnp.asarray(np.asarray(x), jnp.bfloat16), np.float32
+        ) @ w_hat.T
+        np.testing.assert_allclose(got, want, rtol=0.03, atol=0.03)
+    finally:
+        os.environ.pop("VPTQ_TPU_PALLAS_INTERPRET", None)
