@@ -33,6 +33,13 @@ import time
 import numpy as np
 
 BASELINE_TOK_S = 39.9  # LLaMA-2 7B @ 2.02 bit, A100 (README.md:274)
+# per-geometry A100 decode baselines (reference README.md:274-279;
+# 13B/70B rows are the 2.02/2.07-bit configs)
+GEOMETRY_BASELINE_TOK_S = {
+    "llama2-7b": 39.9,
+    "llama2-13b": 26.9,
+    "llama2-70b": 9.7,
+}
 
 
 def build_7b_int8(rng, fmt="int8", geometry="llama2-7b"):
@@ -469,7 +476,13 @@ def main():
                 + (f"_b{batch}" if batch > 1 else ""),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
-                "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+                "vs_baseline": round(
+                    tok_s
+                    / GEOMETRY_BASELINE_TOK_S.get(
+                        geometry, BASELINE_TOK_S
+                    ),
+                    3,
+                ),
                 "gbps": round(gbps, 1),
                 "sol_frac": round(gbps / V5E_HBM_GBPS, 3),
                 "weight_bytes_per_tok": weight_bytes,
