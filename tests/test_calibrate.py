@@ -226,25 +226,14 @@ def test_int3_mixed_calibrated(midsize):
     assert klm < kl3 * 0.9, (klm, kl3)
 
 
-def test_int3_mixed_beats_int4_on_outlier_channels(tmp_path):
-    """The concentrated-error case the format exists for: scattered
-    salient input channels (real-model structure — planted here by
-    bumping a few weight_scale columns 8x) pollute the absmax of every
-    128-col scale group they land in, hurting int4 AND int3 RTN alike.
-    Per-column int8 extraction carries them exactly AND re-tightens
-    the polluted int3 group scales — so int3-mixed (~3.4 bits/weight)
-    must beat int4 RTN (~4.1 bits) outright. Measured: int4 RTN KL
-    0.137, int3 RTN 0.176, int3-mixed 0.069."""
+def _planted_checkpoint(path):
+    """Midsize checkpoint with scattered salient input channels
+    (real-model structure — planted by bumping a few weight_scale
+    columns 8x)."""
     from safetensors.numpy import load_file, save_file
 
-    from vptq_tpu.models.loader import load_model
-    from vptq_tpu.quant.calibrate import (
-        quantize_model_calibrated,
-        synthetic_calibration_tokens,
-    )
-
-    _midsize_checkpoint(tmp_path)
-    t = load_file(tmp_path / "model.safetensors")
+    _midsize_checkpoint(path)
+    t = load_file(path / "model.safetensors")
     rng = np.random.default_rng(0)
     for k in list(t):
         if k.endswith(".weight_scale"):
@@ -254,8 +243,24 @@ def test_int3_mixed_beats_int4_on_outlier_channels(tmp_path):
             )
             v[sel] *= 8.0
             t[k] = v.astype(t[k].dtype)
-    save_file(t, tmp_path / "model.safetensors")
+    save_file(t, path / "model.safetensors")
 
+
+def test_int3_mixed_beats_int4_on_outlier_channels(tmp_path):
+    """The concentrated-error case the format exists for: planted
+    salient input channels pollute the absmax of every 128-col scale
+    group they land in, hurting int4 AND int3 RTN alike. Per-column
+    int8 extraction carries them exactly AND re-tightens the polluted
+    int3 group scales — so int3-mixed (~3.4 bits/weight) must beat
+    int4 RTN (~4.1 bits) outright. Measured: int4 RTN KL 0.137, int3
+    RTN 0.176, int3-mixed 0.069."""
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.quant.calibrate import (
+        quantize_model_calibrated,
+        synthetic_calibration_tokens,
+    )
+
+    _planted_checkpoint(tmp_path)
     exact = load_model(
         str(tmp_path), runtime_format="codebook",
         dtype=jnp.float32, fuse=False,

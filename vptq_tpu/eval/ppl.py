@@ -97,6 +97,7 @@ def main(argv=None) -> int:
         "--runtime-format", default="int8",
         choices=(
             "int8", "int4", "int4-mixed", "int3", "int3-mixed",
+            "int2", "int2-mixed",
             "bf16", "codebook",
         ),
     )

@@ -34,11 +34,13 @@ __all__ = [
     "Int4Linear",
     "Int3Linear",
     "Int3MixedLinear",
+    "Int2Linear",
+    "Int2MixedLinear",
     "to_runtime",
     "RUNTIME_FORMATS",
 ]
 
-RUNTIME_FORMATS = ("int8", "int4", "int3", "bf16", "codebook")
+RUNTIME_FORMATS = ("int8", "int4", "int3", "int2", "bf16", "codebook")
 
 # Scale-group width along in_features; the w8 kernel's in_tile must
 # divide it (scales apply on the accumulator). Chosen per layer: the
@@ -279,6 +281,144 @@ class Int3Linear:
         return self.wq2.shape[0]
 
 
+@struct.dataclass
+class Int2Linear:
+    """Plane-packed int2 weights + per-(row, group-col) bf16 scales.
+
+    The ~2-bit serving operating point — the reference's entire
+    published table lives at 2.02-2.26 bits/weight (reference
+    README.md:274-279); this is its TPU-native dense counterpart:
+    ``w = (c + 0.5) * s`` with c in {-2..1} (half-offset symmetric
+    levels) and group-64 scales by default (2.25 bits/weight).
+    Kernel contract: :func:`vptq_tpu.ops.packing.pack_int2` /
+    :func:`vptq_tpu.ops.pallas_gemm.w2_matmul`. Pair with
+    :class:`Int2MixedLinear` (calibrated int8 outlier columns) for
+    fidelity — raw 2-bit RTN is a capacity probe, not a quality
+    format.
+    """
+
+    wq: jnp.ndarray  # (out, in_padded // 4) int8 — 2-bit plane
+    scales: jnp.ndarray  # (out, in_padded // group) bf16
+    bias: Optional[jnp.ndarray] = None
+
+    @property
+    def in_padded(self) -> int:
+        return self.wq.shape[1] * 4
+
+    @property
+    def group(self) -> int:
+        return self.in_padded // self.scales.shape[1]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from vptq_tpu.ops.pallas_gemm import w2_matmul
+        from vptq_tpu.ops.quant_matmul import use_pallas
+
+        in_padded = self.in_padded
+        if x.shape[-1] != in_padded:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, in_padded - x.shape[-1])]
+            x = jnp.pad(x, pad)
+
+        if use_pallas():
+            # out_tile 2048 only at decode token counts (the w4
+            # rationale): at prefill the f32 accumulator + out double
+            # buffer of a (256-token, 2048-out) tile overflows the
+            # 16 MB scoped-VMEM budget
+            tokens = 1
+            for d in x.shape[:-1]:
+                tokens *= d
+            out_f = self.wq.shape[0]
+            ot = (
+                2048 if (out_f >= 2048 and tokens <= 64)
+                else (1024 if out_f >= 1024
+                      else (512 if out_f >= 512 else 256))
+            )
+            out = w2_matmul(
+                x, self.wq, self.scales,
+                out_tile=ot, in_tile=1024,
+            )
+        else:
+            q = _unpack_int2_jnp(self.wq)
+            group = self.group
+            w = (
+                (q.astype(jnp.float32) + 0.5).reshape(
+                    self.wq.shape[0], -1, group
+                )
+                * self.scales.astype(jnp.float32)[:, :, None]
+            ).reshape(self.wq.shape[0], in_padded)
+            out = jnp.dot(
+                x.astype(jnp.float32), w.T,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        if self.bias is not None:
+            out = out + self.bias.astype(out.dtype)
+        return out
+
+    @property
+    def out_features(self) -> int:
+        return self.wq.shape[0]
+
+
+def _unpack_int2_jnp(wq: jnp.ndarray) -> jnp.ndarray:
+    """jnp mirror of packing.unpack_int2 (non-pallas fallback path)."""
+    b = wq.astype(jnp.int32)
+    u = jnp.concatenate(
+        [
+            jnp.bitwise_and(jnp.right_shift(b, 2 * q), 3)
+            for q in range(4)
+        ],
+        axis=1,
+    )
+    return jnp.where(u >= 2, u - 4, u).astype(jnp.int8)
+
+
+# default int8 COLUMN fraction of the int2-mixed format. The floor in
+# calibrate._select_cols is 128 columns, so at 7B attention width
+# (4096) this resolves to 1/32; at MLP width (11008) to 256/11008.
+# Effective bits at 7B: 2.25 (int2 plane + group-64 scales) +
+# ~0.03 * 8.25 (int8 side) ~= 2.5 bits/weight — the reference's own
+# operating band (2.02-2.26 published + its outlier machinery).
+INT2_MIXED_COL_FRACTION = 1 / 48
+
+
+@struct.dataclass
+class Int2MixedLinear:
+    """int2 plane + an int8 side matrix on the sensitive input columns.
+
+    The calibrated ~2.5-bit serving format: the measured-most-
+    sensitive input columns are carried int8; the int2 encode zeroes
+    them first (tightening every polluted group-64 scale) and the int8
+    side holds the RESIDUAL ``w[:, cols] - w2hat[:, cols]`` — the
+    half-offset grid cannot represent exact zero, so the side matrix
+    absorbs the leftover ±0.5*s of the zeroed plane positions
+    (quant/calibrate._gptq_layer_int2_mixed).
+
+    ``y = int2(x) + int8(x[..., col_idx])`` — both sides ride their
+    existing Pallas kernels. Blocked shard_map-TP instances follow the
+    Int3MixedLinear contract (shard-local ``col_idx``, placement-only
+    artifact).
+    """
+
+    int2: Int2Linear
+    int8: Int8Linear
+    col_idx: jnp.ndarray  # (k,) int32 — original input columns
+    bias: Optional[jnp.ndarray] = None
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xs = jnp.take(x, self.col_idx, axis=-1)
+        out = self.int2(x) + self.int8(xs).astype(x.dtype)
+        if self.bias is not None:
+            out = out + self.bias.astype(out.dtype)
+        return out
+
+    @property
+    def out_features(self) -> int:
+        return self.int2.out_features
+
+    @property
+    def in_padded(self) -> int:
+        return self.int2.in_padded
+
+
 # default int8 COLUMN fraction of the int3-mixed format: the
 # measured-most-sensitive ~3% of input columns (per site, scattered —
 # not whole 128-col groups) go int8. Effective bits: 3.13 (int3
@@ -356,7 +496,7 @@ def _unpack_int3_jnp(wq2: jnp.ndarray, wq1: jnp.ndarray) -> jnp.ndarray:
 
 RuntimeLinear = Union[
     VQLinear, DenseLinear, Int8Linear, Int4Linear, Int3Linear,
-    Int3MixedLinear,
+    Int3MixedLinear, Int2Linear, Int2MixedLinear,
 ]
 
 
@@ -737,6 +877,93 @@ def int3_from_q(q, scales, bias=None, pad_to: int = 2048) -> Int3Linear:
     )
 
 
+def int2_weight(layer: Int2Linear) -> "np.ndarray":
+    """Exact f32 dequant of the plane-packed int2 layout (host)."""
+    import jax
+    import numpy as np
+
+    from vptq_tpu.ops.packing import unpack_int2
+
+    q = unpack_int2(np.asarray(jax.device_get(layer.wq)))
+    s = np.asarray(jax.device_get(layer.scales), np.float32)
+    group = layer.group
+    return (
+        (q.astype(np.float32) + 0.5).reshape(q.shape[0], -1, group)
+        * s[:, :, None]
+    ).reshape(q.shape)
+
+
+def _encode_int2(
+    w, bias, shards: int = 1, pad_to: int = 1024, group: int = 64
+) -> Int2Linear:
+    """f32 (out, in) numpy weight → plane-packed Int2Linear.
+
+    ``shards > 1``: blocked layout for shard_map TP (per-shard
+    padding to 1024 — the kernel's W2_BLOCK minimum)."""
+    import numpy as np
+
+    from vptq_tpu.ops.packing import pack_int2, quantize_int2
+
+    if shards > 1:
+        pad = (-w.shape[1]) % shards
+        if pad:
+            w = np.pad(w, ((0, 0), (0, pad)))
+        blk = w.shape[1] // shards
+        parts = [
+            _encode_int2(
+                w[:, s * blk: (s + 1) * blk], None,
+                pad_to=1024, group=group,
+            )
+            for s in range(shards)
+        ]
+        return Int2Linear(
+            wq=np.concatenate([p.wq for p in parts], axis=1),
+            scales=np.concatenate([p.scales for p in parts], axis=1),
+            bias=bias,
+        )
+
+    pad = (-w.shape[1]) % pad_to
+    if pad:
+        w = np.pad(w, ((0, 0), (0, pad)))
+    q, scale = quantize_int2(w, group=group)
+    return Int2Linear(
+        wq=pack_int2(q),
+        scales=np.ascontiguousarray(scale).astype(jnp.bfloat16),
+        bias=bias,
+    )
+
+
+def to_int2(layer: VQLinear) -> Int2Linear:
+    """Exact dequant → per-(row, 64-col) half-offset int2 re-encode."""
+    return _encode_int2(_exact_weight(layer), layer.bias)
+
+
+def int2_from_q(
+    q, scales, bias=None, pad_to: int = 1024, group: int = 64
+) -> Int2Linear:
+    """Build an Int2Linear from precomputed (q, scales) — calibrated
+    encoder entry point (quant/gptq.py bits=2). ``q``: (out, in) int8
+    in [-2, 1] (levels ``(q + 0.5) * s``), ``in % group == 0``;
+    ``scales``: (out, in // group) f32."""
+    import numpy as np
+
+    from vptq_tpu.ops.packing import pack_int2
+
+    pad = (-q.shape[1]) % pad_to
+    if pad:
+        # padded columns: code -1 dequants to -0.5*s; harmless (the
+        # runtime zero-pads x) but keep scales finite/bf16-exact
+        q = np.pad(q, ((0, 0), (0, pad)), constant_values=-1)
+        scales = np.pad(
+            scales, ((0, 0), (0, pad // group)), constant_values=1.0
+        )
+    return Int2Linear(
+        wq=pack_int2(np.ascontiguousarray(q)),
+        scales=np.ascontiguousarray(scales).astype(jnp.bfloat16),
+        bias=bias,
+    )
+
+
 def linear_exact_weight(layer, logical_in: Optional[int] = None):
     """Exact f32 host dequant of ANY linear, sliced to the logical
     in_features (drops encoder zero-padding)."""
@@ -751,6 +978,8 @@ def linear_exact_weight(layer, logical_in: Optional[int] = None):
         w = int4_weight(layer)
     elif isinstance(layer, Int3Linear):
         w = int3_weight(layer)
+    elif isinstance(layer, Int2Linear):
+        w = int2_weight(layer)
     else:  # DenseLinear
         w = np.asarray(jax.device_get(layer.weight), np.float32)
     if logical_in is not None:
@@ -828,6 +1057,12 @@ def to_runtime(layer, fmt: str, row_shards: int = 1):
                 _exact_weight(layer), layer.bias, shards=row_shards
             )
         return to_int3(layer)
+    if fmt == "int2":
+        if row_shards > 1:
+            return _encode_int2(
+                _exact_weight(layer), layer.bias, shards=row_shards
+            )
+        return to_int2(layer)
     return to_bf16(layer)
 
 
@@ -932,6 +1167,63 @@ def fuse_linears(linears):
                 [m.scales for m in linears], axis=0
             ),
             bias=bias,
+        )
+    if isinstance(first, Int2Linear):
+        # every array of Int2Linear is row-major over out_features,
+        # so fusion is plain row concatenation
+        if any(
+            m.wq.shape[1] != first.wq.shape[1]
+            or m.scales.shape[1] != first.scales.shape[1]
+            for m in linears
+        ):
+            return None
+        xp = _xp_of(*(m.wq for m in linears))
+        biases = [m.bias for m in linears]
+        if any(b is not None for b in biases):
+            bias = xp.concatenate(
+                [
+                    b
+                    if b is not None
+                    else xp.zeros(m.out_features, jnp.float32)
+                    for b, m in zip(biases, linears)
+                ]
+            )
+        else:
+            bias = None
+        return Int2Linear(
+            wq=xp.concatenate([m.wq for m in linears], axis=0),
+            scales=xp.concatenate(
+                [m.scales for m in linears], axis=0
+            ),
+            bias=bias,
+        )
+    if isinstance(first, Int2MixedLinear):
+        idx0 = np.asarray(first.col_idx)
+        if any(
+            np.asarray(m.col_idx).shape != idx0.shape
+            or not np.array_equal(np.asarray(m.col_idx), idx0)
+            for m in linears[1:]
+        ):
+            return None
+        f2 = fuse_linears([m.int2 for m in linears])
+        f8 = fuse_linears([m.int8 for m in linears])
+        if f2 is None or f8 is None:
+            return None
+        xp = _xp_of(*(m.int2.wq for m in linears))
+        biases = [m.bias for m in linears]
+        if any(b is not None for b in biases):
+            bias = xp.concatenate(
+                [
+                    b
+                    if b is not None
+                    else xp.zeros(m.out_features, jnp.float32)
+                    for b, m in zip(biases, linears)
+                ]
+            )
+        else:
+            bias = None
+        return Int2MixedLinear(
+            int2=f2, int8=f8, col_idx=first.col_idx, bias=bias
         )
     if isinstance(first, Int3MixedLinear):
         # fusable only when the site shared ONE column selection (the

@@ -340,9 +340,11 @@ def load_model(
     row-parallel sites are encoded blocked with PER-SHARD GPTQ, so
     the calibrated quality survives TP placement.
     """
-    calibrated = runtime_format in ("int4-mixed", "int3-mixed") or (
+    calibrated = runtime_format in (
+        "int4-mixed", "int3-mixed", "int2-mixed"
+    ) or (
         calibration is not None
-        and runtime_format in ("int3", "int4", "int8")
+        and runtime_format in ("int2", "int3", "int4", "int8")
     )
     if calibrated:
         tp_mesh = None
@@ -395,6 +397,7 @@ def load_model(
 
             base_fmt = {
                 "int4-mixed": "int4", "int3-mixed": "int3",
+                "int2-mixed": "int2",
             }.get(runtime_format, runtime_format)
             lm = to_runtime(lm, base_fmt)
         if quantize_lm_head and isinstance(lm, DenseLinear):

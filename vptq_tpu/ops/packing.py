@@ -31,6 +31,9 @@ __all__ = [
     "quantize_int3",
     "pack_int3",
     "unpack_int3",
+    "quantize_int2",
+    "pack_int2",
+    "unpack_int2",
 ]
 
 
@@ -312,6 +315,90 @@ def unpack_int3(
         [(p1 >> m) & 0x1 for m in range(8)], axis=1
     ).astype(np.int8)
     return (two - 4 * sign).astype(np.int8)
+
+
+# int2 plane layout: ONE (out, in/4) byte plane, GLOBAL quarter split
+# (the pack_int3 plane2 principle) — the reference's ~2-bit operating
+# point (reference README.md:274-279 serves 2.02-2.26 bits/weight)
+# re-designed for TPU vector hardware. Codes c in {-2,-1,0,1} are
+# stored as 2-bit two's complement; dequant is (c + 0.5) * scale, so
+# the level set {-1.5,-0.5,0.5,1.5}*s is SYMMETRIC (the half-offset
+# trick: no wasted level, unlike the asymmetric {-2..1}*s grid). The
+# kernel extracts quarter q with (w << (30-2q)) >> 30 — two
+# whole-vector i32 shifts, no mask (floor division discards the lower
+# contaminating fields; see pallas_gemm._w2_kernel) — and folds the
+# +0.5 into a per-group x-sum FMA.
+W2_BLOCK = 1024  # minimum padded width (kernel in_tile granule)
+W2_GROUP = 64  # default scale-group width (2-bit needs finer groups)
+
+# 2-bit grids clip aggressively on heavy-tailed weights: extend the
+# shrink ladder well below int4's 0.65 stop.
+INT2_SCALE_CANDIDATES = tuple(1.0 - 0.05 * i for i in range(13))
+
+
+def quantize_int2(
+    w: np.ndarray, group: int = W2_GROUP, optimize: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-(row, group) int2 quantization onto the half-offset grid.
+
+    Returns (q int8 in [-2, 1] of w.shape, scales bf16-rounded f32 of
+    shape (out, in // group)); dequant is ``(q + 0.5) * scale``. The
+    base scale absmax/1.5 maps the group's extreme onto ±1.5*s; the
+    grid search (longer shrink ladder than int4 — 2-bit MSE favours
+    clipping) minimizes round-trip MSE per group.
+    """
+    out_f, in_f = w.shape
+    if in_f % group:
+        raise ValueError(f"in_features {in_f} % group {group} != 0")
+    g = w.reshape(out_f, in_f // group, group).astype(np.float32)
+    absmax = np.abs(g).max(axis=-1)
+    base = np.where(absmax > 0, absmax / 1.5, 1.0).astype(np.float32)
+    scale = _bf16_rne(base)
+
+    def enc(s):
+        return np.clip(np.round(g / s[:, :, None] - 0.5), -2, 1)
+
+    q = enc(scale)
+    if optimize:
+        best_err = ((g - (q + 0.5) * scale[:, :, None]) ** 2).sum(-1)
+        for f in INT2_SCALE_CANDIDATES[1:]:
+            s = _bf16_rne(base * np.float32(f))
+            qc = enc(s)
+            err = ((g - (qc + 0.5) * s[:, :, None]) ** 2).sum(-1)
+            better = err < best_err
+            best_err = np.where(better, err, best_err)
+            scale = np.where(better, s, scale)
+            q = np.where(better[:, :, None], qc, q)
+    return q.astype(np.int8).reshape(out_f, in_f), scale
+
+
+def pack_int2(q: np.ndarray) -> np.ndarray:
+    """Pack int2 codes ([-2, 1]) into the w2_matmul plane layout.
+
+    Returns ``plane`` (out, in/4): byte ``k`` holds the 2-bit two's
+    complement of natural columns ``k + q*(in/4)`` (quarter q) at bits
+    (2q, 2q+1).
+    """
+    out_f, in_f = q.shape
+    if in_f % W2_BLOCK:
+        raise ValueError(
+            f"in_features must be a multiple of {W2_BLOCK}"
+        )
+    u = (q.astype(np.int16) & 0x3).astype(np.uint8)
+    quart = in_f // 4
+    plane = np.zeros((out_f, quart), np.uint8)
+    for qq in range(4):
+        plane |= u[:, qq * quart: (qq + 1) * quart] << (2 * qq)
+    return plane.view(np.int8)
+
+
+def unpack_int2(plane: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_int2` (host-side oracle)."""
+    p = plane.view(np.uint8)
+    u = np.concatenate(
+        [(p >> (2 * qq)) & 0x3 for qq in range(4)], axis=1
+    ).astype(np.int8)
+    return np.where(u >= 2, u - 4, u).astype(np.int8)
 
 
 def unpack_int4(packed: np.ndarray) -> np.ndarray:

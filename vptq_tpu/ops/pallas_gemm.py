@@ -38,6 +38,7 @@ def _interpret() -> bool:
 __all__ = [
     "w8_matmul",
     "w3_matmul",
+    "w2_matmul",
     "w8_matmul_expert",
     "w8_matmul_pairs",
     "w4_matmul",
@@ -977,6 +978,241 @@ def bf16_matmul(
         ),
         interpret=_interpret(),
     )(x2.astype(w.dtype), w)
+
+    out = out[:tokens, :out_features]
+    return out.reshape(*lead_shape, out_features).astype(out_dtype)
+
+
+W2_GROUP = 64  # int2 scale-group width along in_features
+
+
+def _w2_kernel(*refs, n_in_tiles: int, s_q: int, group: int):
+    """One int2 (out_tile, in_tile) grid step.
+
+    Plane layout (packing.pack_int2): one (out, in/4) byte plane, 4
+    quarter-split 2-bit two's-complement codes per byte. Dequant is
+    ``w = (c + 0.5) * s`` (half-offset symmetric grid). Extraction
+    per quarter uses whole-vector i32 shifts and NO mask:
+    ``c = (w << (30 - 2q)) >> 30`` — the left shift parks the field's
+    sign bit at bit 31 and the arithmetic right shift floor-divides
+    the lower contaminating fields away (exact: they are
+    non-negative). Quarter 0 is ONE shift (``w << 30`` = c0 * 2^30
+    exactly; the 2^-30 is pre-folded into its scale rows and 2^30
+    into its xg rows by the caller) and quarter 3 is one shift
+    (``w >> 6``). Total: 1 i8->i32 unpack + 6 shifts + 4 bf16
+    converts per byte = ~2.75 VPU ops/weight — between the w4 kernel
+    (~2.5/weight) and the w3 kernel (~6/weight), at HALF w4's HBM
+    bytes. Measured v5e decode: ~0.55-0.6 T weights/s (VPU-bound; a
+    weight-side-scale single-dot variant measured 30% SLOWER, and
+    in-kernel x group-sum reductions cost ~8% — hence the
+    precomputed xg input).
+
+    The +0.5 offset rides a per-sub-group FMA on the accumulator:
+    ``x @ ((c + 0.5) s) = (x @ c) s + 0.5 s * sum_g(x)`` with the
+    group sums ``xg`` computed OUTSIDE (one fused XLA reduce per
+    call) and regrouped like the scale rows.
+
+    refs: xq0..xq3 (T, I/4) bf16, w (O_T, I/4) int8, sq (4*s_q, O_T)
+    bf16 (this step's quarter scale rows, regrouped outside; quarter
+    0 rows pre-scaled by 2^-30), xg (T, 4*s_q) f32 (this step's
+    half x group sums, quarter 0 pre-scaled by 2^30),
+    o_ref (T, O_T), acc_ref (T, O_T) f32.
+    """
+    xq = refs[0:4]
+    w_ref = refs[4]
+    sq_ref = refs[5]
+    xg_ref = refs[6]
+    o_ref, acc_ref = refs[7], refs[8]
+    j = pl.program_id(2)
+
+    w = w_ref[:].astype(jnp.int32)
+
+    dims = (((1,), (1,)), ((), ()))
+    part = jnp.zeros(acc_ref.shape, jnp.float32)
+    for q in range(4):
+        if q == 0:
+            c = jnp.left_shift(w, 30).astype(jnp.bfloat16)
+        elif q == 3:
+            c = jnp.right_shift(w, 6).astype(jnp.bfloat16)
+        else:
+            c = jnp.right_shift(
+                jnp.left_shift(w, 30 - 2 * q), 30
+            ).astype(jnp.bfloat16)
+        s_rows = sq_ref[q * s_q: (q + 1) * s_q, :]
+        for sub in range(s_q):
+            c0, c1 = sub * group, (sub + 1) * group
+            p = jax.lax.dot_general(
+                xq[q][:, c0:c1], c[:, c0:c1],
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            xg = xg_ref[q * s_q + sub, :][:, None]
+            part = part + (p + xg) * s_rows[sub, :].astype(
+                jnp.float32
+            )[None, :]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(j == n_in_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_tile", "in_tile", "out_dtype")
+)
+def w2_matmul(
+    x: jnp.ndarray,  # (..., IN) bf16/f32, IN == in_p (padded)
+    wq: jnp.ndarray,  # (OUT, IN // 4) int8 — 2-bit plane
+    scales: jnp.ndarray,  # (OUT, IN // group) bf16 (out-major)
+    *,
+    out_tile: int = 2048,
+    in_tile: int = 1024,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Fused int2 dequant-matmul over the pack_int2 plane layout.
+
+    The ~2-bit serving operating point (reference README.md:274-279):
+    ``w = (c + 0.5) * s`` with per-(row, ``group``-col) bf16 scales.
+    ``in_tile`` counts natural input columns; must divide IN and be a
+    multiple of ``4 * group`` (every quarter sub-slice covers whole
+    scale groups). The scale group is inferred from the array shapes
+    and must be 64 or 128.
+    """
+    out_features = wq.shape[0]
+    in_features = wq.shape[1] * 4
+    if x.shape[-1] != in_features:
+        raise ValueError(
+            f"x last dim {x.shape[-1]} != padded in_features {in_features}"
+        )
+    if in_features % in_tile:
+        raise ValueError(
+            f"in_features {in_features} % in_tile {in_tile} != 0"
+        )
+    if in_features % scales.shape[1]:
+        raise ValueError(f"scales shape {scales.shape} mismatch")
+    group = in_features // scales.shape[1]
+    if group not in (64, 128) or scales.shape[0] != out_features:
+        raise ValueError(f"scales shape {scales.shape} mismatch")
+    if in_tile % (4 * group):
+        raise ValueError(f"in_tile {in_tile} % {4 * group} != 0")
+
+    lead_shape = x.shape[:-1]
+    tokens = 1
+    for d in lead_shape:
+        tokens *= d
+    x2 = x.reshape(tokens, in_features)
+    # token tile capped at 256 (the w3 rationale): 4 zero-copy x views
+    # + f32 scratch per token tile keep the double-buffered set well
+    # inside the 16 MB scoped-VMEM budget at out_tile 2048
+    t_tile = min(_round_up(max(tokens, 1), 16), 256)
+    t_pad = _round_up(max(tokens, 1), t_tile)
+    if t_pad != tokens:
+        x2 = jnp.pad(x2, ((0, t_pad - tokens), (0, 0)))
+
+    o_pad = _round_up(out_features, out_tile)
+    n_t = t_pad // t_tile
+    n_out = o_pad // out_tile
+    n_in = in_features // in_tile
+    quart = in_tile // 4
+    s_q = quart // group
+    out_dtype = out_dtype or x.dtype
+
+    # x is passed 4 times with different index maps (quarter views of
+    # the global split layout) — zero-copy. Scales are regrouped
+    # OUTSIDE the kernel so each step's quarter rows are contiguous
+    # (4*s_q >= 8 rows per step — Pallas' sublane-tiling floor needs
+    # in_tile >= 512 at group=64; the packer's W2_BLOCK=1024 floor
+    # guarantees it), with quarter 0's rows pre-scaled by 2^-30 (its
+    # single-shift extraction leaves codes at c * 2^30). The x group
+    # sums ride along transposed — (rows, T) so per-step lane slicing
+    # stays 128-aligned — carrying the half-offset term with the 0.5
+    # (and quarter 0's 2^30) pre-applied.
+    def xq_spec(q):
+        return pl.BlockSpec(
+            (t_tile, quart), lambda t, i, j, q=q: (t, q * n_in + j),
+            memory_space=pltpu.VMEM,
+        )
+
+    sb = scales.astype(jnp.bfloat16).T  # (S, OUT) canonical rows
+    sb4 = sb.reshape(4, n_in, s_q, out_features)
+    qf = jnp.asarray(
+        [2.0 ** -30, 1.0, 1.0, 1.0], sb4.dtype
+    ).reshape(4, 1, 1, 1)
+    sq_all = (
+        (sb4 * qf)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_in * 4 * s_q, out_features)
+    )
+    # group sums of the SAME bf16-rounded x the kernel dots consume
+    xg = jnp.sum(
+        x2.astype(jnp.bfloat16)
+        .astype(jnp.float32)
+        .reshape(t_pad, in_features // group, group),
+        axis=-1,
+    )  # (T, S) canonical group sums
+    gf = jnp.asarray(
+        [0.5 * 2.0 ** 30, 0.5, 0.5, 0.5], jnp.float32
+    ).reshape(1, 4, 1)
+    xg_all = (
+        (xg.reshape(t_pad, 4, n_in * s_q) * gf)
+        .reshape(t_pad, 4, n_in, s_q)
+        .transpose(2, 1, 3, 0)
+        .reshape(n_in * 4 * s_q, t_pad)
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w2_kernel, n_in_tiles=n_in, s_q=s_q, group=group
+        ),
+        grid=(n_t, n_out, n_in),
+        in_specs=(
+            [xq_spec(q) for q in range(4)]
+            + [
+                pl.BlockSpec(  # 2-bit plane
+                    (out_tile, quart), lambda t, i, j: (i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(  # quarter scale rows of step j
+                    (4 * s_q, out_tile), lambda t, i, j: (j, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(  # x group-sum rows of step j
+                    (4 * s_q, t_tile), lambda t, i, j: (j, t),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+        ),
+        out_specs=pl.BlockSpec(
+            (t_tile, out_tile), lambda t, i, j: (t, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_pad, out_features), out_dtype),
+        scratch_shapes=[pltpu.VMEM((t_tile, out_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * o_pad * in_features,
+            bytes_accessed=out_features * in_features // 4
+            + out_features * (in_features // group) * 2
+            + t_pad * in_features * 2
+            + t_pad * out_features * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        *([x2.astype(jnp.bfloat16)] * 4),
+        wq,
+        sq_all,
+        xg_all,
+    )
 
     out = out[:tokens, :out_features]
     return out.reshape(*lead_shape, out_features).astype(out_dtype)

@@ -62,13 +62,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vptq_tpu.layers.dense import DenseLinear
 from vptq_tpu.layers.runtime import (
+    Int2Linear,
+    Int2MixedLinear,
     Int3Linear,
     Int3MixedLinear,
     Int4Linear,
     Int8Linear,
+    _encode_int2,
     _encode_int3,
     _encode_int4,
     _encode_int8,
+    int2_weight,
     int3_weight,
     int4_weight,
     int8_weight,
@@ -174,14 +178,30 @@ def _permute_out(layer, perm: np.ndarray):
             scales=_host(layer.scales)[perm],
             bias=None if layer.bias is None else _host(layer.bias)[perm],
         )
-    if isinstance(layer, Int3MixedLinear):
+    if isinstance(layer, Int2Linear):
+        # plane + out-major scales are row-major over out_features
+        return Int2Linear(
+            wq=_host(layer.wq)[perm],
+            scales=_host(layer.scales)[perm],
+            bias=None if layer.bias is None else _host(layer.bias)[perm],
+        )
+    if isinstance(layer, (Int3MixedLinear, Int2MixedLinear)):
         # both sides are row-major over out_features; the column
         # selection is input-side and unaffected
-        return Int3MixedLinear(
-            int3=_permute_out(layer.int3, perm),
+        base = (
+            layer.int3
+            if isinstance(layer, Int3MixedLinear)
+            else layer.int2
+        )
+        kw = {
+            "int3" if isinstance(layer, Int3MixedLinear) else "int2":
+                _permute_out(base, perm)
+        }
+        return type(layer)(
             int8=_permute_out(layer.int8, perm),
             col_idx=layer.col_idx,
             bias=None if layer.bias is None else _host(layer.bias)[perm],
+            **kw,
         )
     if isinstance(layer, DenseLinear):
         return DenseLinear(
@@ -222,19 +242,38 @@ def _col_parallel(layer, mesh, axis, perm: Optional[np.ndarray] = None):
             bias=None if layer.bias is None else P(axis),
         )
         return placed, spec
-    if isinstance(layer, Int3MixedLinear):
-        # out axis shards both sides; the column selection gathers
-        # from the REPLICATED activations, so col_idx replicates
-        p3, s3 = _col_parallel(layer.int3, mesh, axis)
-        p8, s8 = _col_parallel(layer.int8, mesh, axis)
-        placed = Int3MixedLinear(
-            int3=p3, int8=p8,
-            col_idx=_put(layer.col_idx, mesh, P()),
+    if isinstance(layer, Int2Linear):
+        placed = Int2Linear(
+            wq=_put(layer.wq, mesh, P(axis, None)),
+            scales=_put(layer.scales, mesh, P(axis, None)),
             bias=_put(layer.bias, mesh, P(axis)),
         )
-        spec = Int3MixedLinear(
-            int3=s3, int8=s8, col_idx=P(),
+        spec = Int2Linear(
+            wq=P(axis, None), scales=P(axis, None),
             bias=None if layer.bias is None else P(axis),
+        )
+        return placed, spec
+    if isinstance(layer, (Int3MixedLinear, Int2MixedLinear)):
+        # out axis shards both sides; the column selection gathers
+        # from the REPLICATED activations, so col_idx replicates
+        base = (
+            layer.int3
+            if isinstance(layer, Int3MixedLinear)
+            else layer.int2
+        )
+        name = "int3" if isinstance(layer, Int3MixedLinear) else "int2"
+        pb, sb = _col_parallel(base, mesh, axis)
+        p8, s8 = _col_parallel(layer.int8, mesh, axis)
+        placed = type(layer)(
+            int8=p8,
+            col_idx=_put(layer.col_idx, mesh, P()),
+            bias=_put(layer.bias, mesh, P(axis)),
+            **{name: pb},
+        )
+        spec = type(layer)(
+            int8=s8, col_idx=P(),
+            bias=None if layer.bias is None else P(axis),
+            **{name: sb},
         )
         return placed, spec
     if isinstance(layer, DenseLinear):
@@ -273,26 +312,42 @@ def _row_parallel(
             "supported family needs it: llama/mistral/qwen2/phi3 "
             "o_proj/down_proj are bias-free)"
         )
-    if isinstance(layer, Int3MixedLinear):
+    if isinstance(layer, (Int3MixedLinear, Int2MixedLinear)):
         if reencode:
             raise NotImplementedError(
-                "row-parallel int3-mixed must come pre-blocked from "
-                "the calibrated encoder (load with calibration= and "
-                "a TP mesh, quant/calibrate.py tp_shards) — an RTN "
-                "re-encode would discard the calibrated column "
+                "row-parallel int3-/int2-mixed must come pre-blocked "
+                "from the calibrated encoder (load with calibration= "
+                "and a TP mesh, quant/calibrate.py tp_shards) — an "
+                "RTN re-encode would discard the calibrated column "
                 "selection"
             )
-        # calibrated blocked form: int3 planes shard their in axis,
+        # calibrated blocked form: base planes shard their in axis,
         # the int8 side matrix holds each shard's selected columns
         # contiguously (wq in-axis sharded, per-shard scale rows),
         # col_idx carries SHARD-LOCAL ids into the local x block
-        placed = Int3MixedLinear(
-            int3=Int3Linear(
+        if isinstance(layer, Int3MixedLinear):
+            base_p = Int3Linear(
                 wq2=_put(layer.int3.wq2, mesh, P(None, axis)),
                 wq1=_put(layer.int3.wq1, mesh, P(None, axis)),
                 scales=_put(layer.int3.scales, mesh, P(None, axis)),
                 bias=None,
-            ),
+            )
+            base_s = Int3Linear(
+                wq2=P(None, axis), wq1=P(None, axis),
+                scales=P(None, axis), bias=None,
+            )
+            name = "int3"
+        else:
+            base_p = Int2Linear(
+                wq=_put(layer.int2.wq, mesh, P(None, axis)),
+                scales=_put(layer.int2.scales, mesh, P(None, axis)),
+                bias=None,
+            )
+            base_s = Int2Linear(
+                wq=P(None, axis), scales=P(None, axis), bias=None
+            )
+            name = "int2"
+        placed = type(layer)(
             int8=Int8Linear(
                 wq=_put(layer.int8.wq, mesh, P(None, axis)),
                 scales=_put(layer.int8.scales, mesh, P(axis, None)),
@@ -300,21 +355,19 @@ def _row_parallel(
             ),
             col_idx=_put(layer.col_idx, mesh, P(axis)),
             bias=None,
+            **{name: base_p},
         )
-        spec = Int3MixedLinear(
-            int3=Int3Linear(
-                wq2=P(None, axis), wq1=P(None, axis),
-                scales=P(None, axis), bias=None,
-            ),
+        spec = type(layer)(
             int8=Int8Linear(
                 wq=P(None, axis), scales=P(axis, None), bias=None
             ),
             col_idx=P(axis),
             bias=None,
+            **{name: base_s},
         )
         return placed, spec
     if not reencode and isinstance(
-        layer, (Int8Linear, Int4Linear, Int3Linear)
+        layer, (Int8Linear, Int4Linear, Int3Linear, Int2Linear)
     ):
         blocked = layer
     elif isinstance(layer, Int8Linear):
@@ -326,6 +379,9 @@ def _row_parallel(
     elif isinstance(layer, Int3Linear):
         w = int3_weight(layer)[:, :logical_in]
         blocked = _encode_int3(w, None, shards=size)
+    elif isinstance(layer, Int2Linear):
+        w = int2_weight(layer)[:, :logical_in]
+        blocked = _encode_int2(w, None, shards=size)
     elif isinstance(layer, DenseLinear):
         w = _host(layer.weight)[:, :logical_in]
         pad = (-w.shape[1]) % size
@@ -355,6 +411,16 @@ def _row_parallel(
             scales=P(None, axis), bias=None,
         )
         return placed, spec
+    if isinstance(blocked, Int2Linear):
+        placed = Int2Linear(
+            wq=_put(blocked.wq, mesh, P(None, axis)),
+            scales=_put(blocked.scales, mesh, P(None, axis)),
+            bias=None,
+        )
+        spec = Int2Linear(
+            wq=P(None, axis), scales=P(None, axis), bias=None
+        )
+        return placed, spec
     placed = type(blocked)(
         wq=_put(blocked.wq, mesh, P(None, axis)),
         scales=_put(blocked.scales, mesh, P(axis, None)),
@@ -373,6 +439,8 @@ def _out_features(lin) -> int:
         return int(lin.wq2.shape[0])
     if isinstance(lin, Int3MixedLinear):
         return int(lin.int3.wq2.shape[0])
+    if isinstance(lin, Int2MixedLinear):
+        return int(lin.int2.wq.shape[0])
     return int(lin.wq.shape[0])
 
 

@@ -269,9 +269,10 @@ def _rtn_sensitivity(
     output error of the plain base-bits RTN re-encode. O(out*in) —
     used by the ranking pass of ``int8_fraction`` (no Cholesky, H
     discarded)."""
-    q, s = gptq_quantize(w, None, bits=bits)
-    spans = group_spans(w.shape[1], 128)
-    dw = dequant_groups(q, s, spans) - w
+    group = 64 if bits == 2 else 128
+    q, s = gptq_quantize(w, None, bits=bits, group=group)
+    spans = group_spans(w.shape[1], group)
+    dw = dequant_groups(q, s, spans, 0.5 if bits == 2 else 0.0) - w
     d = diag_h.astype(np.float64)
     num = float((dw.astype(np.float64) ** 2).sum(axis=0) @ d)
     den = float((w.astype(np.float64) ** 2).sum(axis=0) @ d)
@@ -281,6 +282,7 @@ def _rtn_sensitivity(
 def _gptq_layer(bits, w, bias, hess, damp):
     """GPTQ-encode ONE weight matrix; returns (layer, w_hat)."""
     from vptq_tpu.layers.runtime import (
+        int2_from_q,
         int3_from_q,
         int4_from_q,
         int8_from_q,
@@ -291,6 +293,9 @@ def _gptq_layer(bits, w, bias, hess, damp):
     if bits in (3, 4):
         pad = (-in_f) % 128
         group = 128
+    elif bits == 2:
+        pad = (-in_f) % 64
+        group = 64
     else:
         group = pick_group(in_f)
         pad = (-in_f) % group
@@ -303,8 +308,11 @@ def _gptq_layer(bits, w, bias, hess, damp):
         wp, hp, bits=bits, group=group, damp=damp
     )
     spans = group_spans(wp.shape[1], group)
-    w_hat = dequant_groups(q, scales, spans)[:, :in_f]
-    if bits == 3:
+    offset = 0.5 if bits == 2 else 0.0
+    w_hat = dequant_groups(q, scales, spans, offset)[:, :in_f]
+    if bits == 2:
+        lin = int2_from_q(q, scales, bias)
+    elif bits == 3:
         lin = int3_from_q(q, scales, bias)
     elif bits == 4:
         lin = int4_from_q(q, scales, bias)
@@ -325,9 +333,11 @@ def _gptq_layer_blocked(bits, w, bias, hess, damp, shards):
     of being re-quantized RTN from its own dequant.
     """
     from vptq_tpu.layers.runtime import (
+        Int2Linear,
         Int3Linear,
         Int4Linear,
         Int8Linear,
+        int2_from_q,
         int3_from_q,
         int4_from_q,
         int8_from_q,
@@ -357,6 +367,9 @@ def _gptq_layer_blocked(bits, w, bias, hess, damp, shards):
         elif bits == 3:
             shard_pad = 1024
             group = 128
+        elif bits == 2:
+            shard_pad = 1024  # W2_BLOCK
+            group = 64
         else:
             group = pick_group(blk)
             shard_pad = group
@@ -371,17 +384,26 @@ def _gptq_layer_blocked(bits, w, bias, hess, damp, shards):
         )
         hats.append(
             dequant_groups(
-                q, scales, group_spans(wsp.shape[1], group)
+                q, scales, group_spans(wsp.shape[1], group),
+                0.5 if bits == 2 else 0.0,
             )[:, :blk]
         )
-        if bits == 3:
+        if bits == 2:
+            parts.append(int2_from_q(q, scales, None, pad_to=shard_pad))
+        elif bits == 3:
             parts.append(int3_from_q(q, scales, None, pad_to=shard_pad))
         elif bits == 4:
             parts.append(int4_from_q(q, scales, None, pad_to=shard_pad))
         else:
             parts.append(int8_from_q(q, scales, None))
     w_hat = np.concatenate(hats, axis=1)[:, : w.shape[1]]
-    if bits == 3:
+    if bits == 2:
+        lin = Int2Linear(
+            wq=np.concatenate([p.wq for p in parts], axis=1),
+            scales=np.concatenate([p.scales for p in parts], axis=1),
+            bias=bias,
+        )
+    elif bits == 3:
         lin = Int3Linear(
             wq2=np.concatenate([p.wq2 for p in parts], axis=1),
             wq1=np.concatenate([p.wq1 for p in parts], axis=1),
@@ -457,12 +479,18 @@ def _select_cols(
     return cols.astype(np.int32)
 
 
-def _gptq_layer_int3_mixed(w, bias, hess, damp, cols, shards=1):
-    """Column-block mixed encode: int8 on ``cols``, int3 elsewhere.
+def _gptq_layer_mixed(base_bits, w, bias, hess, damp, cols, shards=1):
+    """Column-block mixed encode: int8 on ``cols``, int3/int2 planes
+    elsewhere.
 
     The selected columns are zeroed (weights AND Hessian rows/cols)
-    for the int3 pass — they are dead inputs there, carried exactly
-    by the int8 side matrix instead.
+    for the base-bits pass — they are dead inputs there. The int8
+    side matrix then carries the RESIDUAL ``w[:, cols] - w_hat[:,
+    cols]``: for int3 the zeroed plane positions dequant to exactly 0
+    (residual == w), but the int2 half-offset grid cannot represent
+    zero — its dead columns dequant to ±0.5*s, and the residual
+    encode absorbs that leftover exactly, keeping the runtime
+    ``y = base(x) + int8(x[cols])`` identity.
 
     ``shards > 1`` (blocked shard_map TP): ``cols`` holds the same
     count per contiguous column shard (see :func:`_select_cols`); the
@@ -474,7 +502,25 @@ def _gptq_layer_int3_mixed(w, bias, hess, damp, cols, shards=1):
     ``_row_parallel(reencode=False)``), exactly like the blocked
     int3/int4/int8 encodings.
     """
-    from vptq_tpu.layers.runtime import Int3MixedLinear, int8_from_q
+    from vptq_tpu.layers.runtime import (
+        Int2MixedLinear,
+        Int3MixedLinear,
+        int8_from_q,
+    )
+
+    wb = w.copy()
+    wb[:, cols] = 0.0
+    hb = hess
+    if hess is not None:
+        hb = np.asarray(hess).copy()
+        hb[cols, :] = 0.0
+        hb[:, cols] = 0.0
+    if shards > 1:
+        lin_b, w_hat = _gptq_layer_blocked(
+            base_bits, wb, None, hb, damp, shards
+        )
+    else:
+        lin_b, w_hat = _gptq_layer(base_bits, wb, None, hb, damp)
 
     # per-shard side encode at group=128 (the per-shard column count
     # is a 128-multiple by construction for real geometries — no
@@ -485,7 +531,7 @@ def _gptq_layer_int3_mixed(w, bias, hess, damp, cols, shards=1):
     q8s, s8s, hat8s = [], [], []
     for s in range(shards):
         cs = cols[s * k_s: (s + 1) * k_s]
-        w8 = np.ascontiguousarray(w[:, cs])
+        w8 = np.ascontiguousarray(w[:, cs] - w_hat[:, cs])
         h8 = (
             None
             if hess is None
@@ -510,18 +556,7 @@ def _gptq_layer_int3_mixed(w, bias, hess, damp, cols, shards=1):
         np.concatenate(q8s, axis=1), np.concatenate(s8s, axis=1), None
     )
 
-    w3 = w.copy()
-    w3[:, cols] = 0.0
-    h3 = hess
-    if hess is not None:
-        h3 = np.asarray(hess).copy()
-        h3[cols, :] = 0.0
-        h3[:, cols] = 0.0
-    if shards > 1:
-        lin3, w_hat = _gptq_layer_blocked(3, w3, None, h3, damp, shards)
-    else:
-        lin3, w_hat = _gptq_layer(3, w3, None, h3, damp)
-    w_hat[:, cols] = np.concatenate(hat8s, axis=1)
+    w_hat[:, cols] = w_hat[:, cols] + np.concatenate(hat8s, axis=1)
     col_idx = np.asarray(cols, np.int64)
     if shards > 1:
         # shard-local ids: device d's slice of col_idx indexes its
@@ -529,9 +564,12 @@ def _gptq_layer_int3_mixed(w, bias, hess, damp, cols, shards=1):
         col_idx = col_idx - np.repeat(
             np.arange(shards, dtype=np.int64) * blk, k_s
         )
-    lin = Int3MixedLinear(
-        int3=lin3, int8=lin8,
+    cls = Int2MixedLinear if base_bits == 2 else Int3MixedLinear
+    kw = {("int2" if base_bits == 2 else "int3"): lin_b}
+    lin = cls(
+        int8=lin8,
         col_idx=jnp.asarray(col_idx.astype(np.int32)), bias=bias,
+        **kw,
     )
     return lin, w_hat
 
@@ -559,22 +597,24 @@ def _quantize_site(
     err_hess = hess if int8_threshold is not None else None
 
     if col_frac is not None:
-        # column-block mixed int3: one joint selection per site so
-        # fusion survives; row-parallel sites under TP select and
+        # column-block mixed int3/int2: one joint selection per site
+        # so fusion survives; row-parallel sites under TP select and
         # encode per shard (shard-local col_idx, blocked planes)
+        base_bits = 2 if fmt == "int2-mixed" else 3
         cols = _select_cols(
             [w for _p, w, _b in weights], hess, col_frac,
             shards=row_shards,
         )
         out, errs = [], []
         for path, w, bias in weights:
-            lin, w_hat = _gptq_layer_int3_mixed(
-                w, bias, hess, damp, cols, shards=row_shards
+            lin, w_hat = _gptq_layer_mixed(
+                base_bits, w, bias, hess, damp, cols,
+                shards=row_shards,
             )
             errs.append(output_error_ratio(w, w_hat, err_hess))
             out.append((path, lin))
         return out, {
-            "format": "int3-mixed",
+            "format": fmt,
             "err_ratio": max(errs),
             "int8_cols": int(len(cols)),
         }
@@ -593,7 +633,10 @@ def _quantize_site(
             out.append((path, lin))
         return out, errs
 
-    base_bits = {"int8": 8, "int3": 3, "int3-mixed": 3}.get(fmt, 4)
+    base_bits = {
+        "int8": 8, "int3": 3, "int3-mixed": 3, "int2": 2,
+        "int2-mixed": 2,
+    }.get(fmt, 4)
     target_bits = 8 if force_int8 else base_bits
     encoded, errs = encode(target_bits)
     site_fmt = f"int{target_bits}"
@@ -701,21 +744,40 @@ def quantize_model_calibrated(
         rope_frequencies,
     )
 
-    if fmt not in ("int4", "int4-mixed", "int3", "int3-mixed", "int8"):
+    if fmt not in (
+        "int4", "int4-mixed", "int3", "int3-mixed", "int2",
+        "int2-mixed", "int8",
+    ):
         raise ValueError(f"unsupported calibrated format {fmt!r}")
     col_frac = None
-    if fmt == "int3-mixed":
+    if fmt in ("int3-mixed", "int2-mixed"):
         # column-block mixing (the sub-4-bit fidelity path): the
         # int8_fraction knob is the COLUMN-group fraction here. Under
         # blocked shard_map TP, row-parallel sites select the same
         # column count per shard and store shard-local ids (see
-        # _gptq_layer_int3_mixed).
-        from vptq_tpu.layers.runtime import INT3_MIXED_COL_FRACTION
+        # _gptq_layer_mixed).
+        from vptq_tpu.layers.runtime import (
+            INT2_MIXED_COL_FRACTION,
+            INT3_MIXED_COL_FRACTION,
+        )
 
+        if int8_threshold is not None:
+            # the per-site threshold knob has no meaning under
+            # per-COLUMN mixing — fail loudly instead of silently
+            # ignoring it (the format's semantics changed in r4)
+            raise ValueError(
+                f"int8_threshold is a site-level knob; {fmt} mixes "
+                "per column — pass int8_fraction (the column "
+                "fraction) instead"
+            )
         col_frac = (
             int8_fraction
             if int8_fraction is not None
-            else INT3_MIXED_COL_FRACTION
+            else (
+                INT2_MIXED_COL_FRACTION
+                if fmt == "int2-mixed"
+                else INT3_MIXED_COL_FRACTION
+            )
         )
         int8_fraction = None  # no site-level ranking pass
     elif (
@@ -769,7 +831,9 @@ def quantize_model_calibrated(
                 sens[f"layers.{i}.{site}"] = max(
                     _rtn_sensitivity(
                         _exact_f32(lin), diag_h,
-                        bits=3 if fmt.startswith("int3") else 4,
+                        bits={"int3": 3, "int2": 2}.get(
+                            fmt.split("-")[0], 4
+                        ),
                     )
                     for lin in vq
                 )
@@ -871,18 +935,19 @@ def quantize_model_calibrated(
     if upload:
         out = jax.tree.map(jnp.asarray, out)
 
-    n8 = sum(1 for r in report.values() if r.get("format") == "int8")
-    n4 = sum(1 for r in report.values() if r.get("format") == "int4")
-    n3 = sum(1 for r in report.values() if r.get("format") == "int3")
-    nm = sum(
-        1 for r in report.values() if r.get("format") == "int3-mixed"
-    )
+    counts = {}
+    for r in report.values():
+        f = r.get("format")
+        if f:
+            counts[f] = counts.get(f, 0) + 1
     report["summary"] = {
-        "sites": n3 + n4 + n8 + nm,
-        "int3_sites": n3,
-        "int3_mixed_sites": nm,
-        "int4_sites": n4,
-        "int8_sites": n8,
+        "sites": sum(counts.values()),
+        "int2_sites": counts.get("int2", 0),
+        "int2_mixed_sites": counts.get("int2-mixed", 0),
+        "int3_sites": counts.get("int3", 0),
+        "int3_mixed_sites": counts.get("int3-mixed", 0),
+        "int4_sites": counts.get("int4", 0),
+        "int8_sites": counts.get("int8", 0),
         "calib_tokens": int(batch * seq),
         "wall_s": round(_time.time() - t_start, 1),
     }

@@ -53,36 +53,45 @@ def _bf16_rne(x: np.ndarray) -> np.ndarray:
     return x.astype(ml_dtypes.bfloat16).astype(np.float32)
 
 
-# (qmin, qmax, scale-base divisor) per bit width; int3 is the
-# asymmetric two's-complement range of the plane format
-# (layers/runtime.py Int3Linear)
+# (qmin, qmax, scale-base divisor, level offset) per bit width; int3
+# is the asymmetric two's-complement range of the plane format
+# (layers/runtime.py Int3Linear); int2 is the half-offset grid
+# ``(q + 0.5) * s`` of the w2 plane format (packing.quantize_int2)
 _BIT_RANGES = {
-    3: (-4, 3, 3.5),
-    4: (-7, 7, 7.0),
-    8: (-127, 127, 127.0),
+    2: (-2, 1, 1.5, 0.5),
+    3: (-4, 3, 3.5, 0.0),
+    4: (-7, 7, 7.0, 0.0),
+    8: (-127, 127, 127.0, 0.0),
 }
 
 
 def _group_scale(
     w_group: np.ndarray, qmin: int, qmax: int, div: float,
     bf16_scales: bool, candidates: Sequence[float],
+    offset: float = 0.0,
 ) -> np.ndarray:
     """Per-row scale for one column group of (updated) weights.
 
     Same MSE grid search as packing.quantize_int4 (absmax shrink
     factors, RTN round-trip error as the criterion — the error
-    feedback downstream only improves on that choice).
+    feedback downstream only improves on that choice). ``offset``:
+    quantized levels are ``(q + offset) * s`` (the int2 half-offset
+    grid).
     """
     absmax = np.abs(w_group).max(axis=1)
     base = np.where(absmax > 0, absmax / div, 1.0).astype(np.float32)
     rnd = _bf16_rne if bf16_scales else lambda v: v
     scale = rnd(base)
-    q = np.clip(np.round(w_group / scale[:, None]), qmin, qmax)
-    best = ((w_group - q * scale[:, None]) ** 2).sum(axis=1)
+    q = np.clip(
+        np.round(w_group / scale[:, None] - offset), qmin, qmax
+    )
+    best = ((w_group - (q + offset) * scale[:, None]) ** 2).sum(axis=1)
     for f in candidates[1:]:
         s = rnd(base * np.float32(f))
-        qc = np.clip(np.round(w_group / s[:, None]), qmin, qmax)
-        err = ((w_group - qc * s[:, None]) ** 2).sum(axis=1)
+        qc = np.clip(
+            np.round(w_group / s[:, None] - offset), qmin, qmax
+        )
+        err = ((w_group - (qc + offset) * s[:, None]) ** 2).sum(axis=1)
         better = err < best
         best = np.where(better, err, best)
         scale = np.where(better, s, scale)
@@ -167,15 +176,16 @@ def gptq_quantize(
 
     ``hessian=None`` degrades to plain RTN with the grid-searched
     scales (no feedback term exists without input correlations).
-    ``bits=3``/``bits=4`` store bf16-rounded scales (the Int3Linear /
-    Int4Linear layouts; int3 clips to the asymmetric [-4, 3] range);
-    ``bits=8`` keeps f32 scales (Int8Linear).
+    ``bits=2``/``bits=3``/``bits=4`` store bf16-rounded scales (the
+    Int2Linear / Int3Linear / Int4Linear layouts; int3 clips to the
+    asymmetric [-4, 3] range; int2 uses the half-offset levels
+    ``(q + 0.5) * s``); ``bits=8`` keeps f32 scales (Int8Linear).
     ``block``: blocked-TP shard width — groups are restarted at each
     block boundary (see :func:`group_spans`).
     """
     if bits not in _BIT_RANGES:
         raise ValueError(f"bits must be one of {set(_BIT_RANGES)}")
-    qmin, qmax, div = _BIT_RANGES[bits]
+    qmin, qmax, div, offset = _BIT_RANGES[bits]
     if scale_candidates is None:
         scale_candidates = tuple(1.0 - 0.05 * i for i in range(8))
         if bits == 3:
@@ -184,6 +194,12 @@ def gptq_quantize(
             # extreme to 4 and clips — scale*1.15/1.3 encodes it
             # exactly (mirrors packing.quantize_int3's grid)
             scale_candidates = scale_candidates + (1.15, 1.3)
+        elif bits == 2:
+            # deep shrink ladder: 2-bit MSE favours clipping
+            # (mirrors packing.INT2_SCALE_CANDIDATES)
+            scale_candidates = tuple(
+                1.0 - 0.05 * i for i in range(13)
+            )
     bf16_scales = bits != 8
     out_f, in_f = w.shape
     spans = group_spans(in_f, group, block)
@@ -196,11 +212,12 @@ def gptq_quantize(
         for gi, (g0, g1) in enumerate(spans):
             s = _group_scale(
                 wf[:, g0:g1], qmin, qmax, div, bf16_scales,
-                scale_candidates,
+                scale_candidates, offset,
             )
             scales[:, gi] = s
             q[:, g0:g1] = np.clip(
-                np.round(wf[:, g0:g1] / s[:, None]), qmin, qmax
+                np.round(wf[:, g0:g1] / s[:, None] - offset),
+                qmin, qmax,
             ).astype(np.int8)
         return q, scales
 
@@ -217,16 +234,16 @@ def gptq_quantize(
     for gi, (g0, g1) in enumerate(spans):
         s = _group_scale(
             wrk[:, g0:g1], qmin, qmax, div, bf16_scales,
-            scale_candidates,
+            scale_candidates, offset,
         )
         scales[:, gi] = s
         inv_s = 1.0 / s
         err_blk = np.empty((out_f, g1 - g0), np.float32)
         for j in range(g0, g1):
             wc = wrk[:, j]
-            qc = np.clip(np.round(wc * inv_s), qmin, qmax)
+            qc = np.clip(np.round(wc * inv_s - offset), qmin, qmax)
             q[:, j] = qc.astype(np.int8)
-            err = (wc - qc * s) / udiag[j]
+            err = (wc - (qc + offset) * s) / udiag[j]
             err_blk[:, j - g0] = err
             if j + 1 < g1:
                 # in-group feedback (next columns of this group)
@@ -238,10 +255,15 @@ def gptq_quantize(
 
 
 def dequant_groups(
-    q: np.ndarray, scales: np.ndarray, spans: List[Tuple[int, int]]
+    q: np.ndarray,
+    scales: np.ndarray,
+    spans: List[Tuple[int, int]],
+    offset: float = 0.0,
 ) -> np.ndarray:
-    """Host dequant of (q, scales) over explicit group spans."""
-    w = q.astype(np.float32)
+    """Host dequant of (q, scales) over explicit group spans.
+
+    ``offset``: levels are ``(q + offset) * s`` (0.5 for int2)."""
+    w = q.astype(np.float32) + np.float32(offset)
     for gi, (g0, g1) in enumerate(spans):
         w[:, g0:g1] *= scales[:, gi: gi + 1]
     return w

@@ -41,6 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--runtime-format", type=str, default="int8",
         choices=(
             "int8", "int4", "int4-mixed", "int3", "int3-mixed",
+            "int2", "int2-mixed",
             "bf16", "codebook",
         ),
         help="runtime weight format (see ARCHITECTURE.md); "

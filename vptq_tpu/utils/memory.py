@@ -95,14 +95,51 @@ def _int3_mixed_bytes(
     from vptq_tpu.layers.runtime import INT3_MIXED_COL_FRACTION
 
     blk = in_f // row_shards if row_shards > 1 else in_f
-    k_s = max(128, int(round(blk * INT3_MIXED_COL_FRACTION)))
-    k_s = ((k_s + 127) // 128) * 128
-    k_s = min(k_s, blk - blk % 128 if blk % 128 else blk)
+    k_s = _mixed_cols_per_shard(blk, INT3_MIXED_COL_FRACTION)
     k = k_s * max(1, row_shards)
     # the side matrix encodes at group=128 (calibrate._gptq_layer_
-    # int3_mixed): k int8 cols + f32 scales per 128-col group
-    side = out_f * k + 4 * out_f * (k // 128)
+    # mixed): k int8 cols + f32 scales per 128-col group
+    side = out_f * k + 4 * out_f * (-(-k // 128) * 128 // 128)
     return _int3_bytes(out_f, in_f, row_shards) + side
+
+
+def _mixed_cols_per_shard(blk: int, col_frac: float) -> int:
+    """Mirror of calibrate._select_cols's per-shard column count,
+    including the blk < 128 toy branch (ALL columns go int8 there)."""
+    if blk < 128:
+        return blk
+    k_s = max(128, int(round(blk * col_frac)))
+    k_s = ((k_s + 127) // 128) * 128
+    return min(k_s, blk - blk % 128 if blk % 128 else blk)
+
+
+def _int2_bytes(out_f: int, in_f: int, row_shards: int = 1) -> int:
+    """Plane-packed int2 (layers/runtime.Int2Linear): one 2-bit plane
+    + bf16 scales per 64 input columns (~2.25 bits/weight)."""
+    if row_shards > 1:
+        blk = (in_f + row_shards - 1) // row_shards
+        in_p = blk + ((-blk) % 1024)  # per-shard pad (W2_BLOCK)
+        return row_shards * (
+            out_f * in_p // 4 + 2 * out_f * (in_p // 64)
+        )
+    in_p = in_f + ((-in_f) % 1024)
+    return out_f * in_p // 4 + 2 * out_f * (in_p // 64)
+
+
+def _int2_mixed_bytes(
+    out_f: int, in_f: int, row_shards: int = 1
+) -> int:
+    """Per-column mixed int2 (layers/runtime.Int2MixedLinear): int2
+    plane over all columns + an int8 side matrix on
+    INT2_MIXED_COL_FRACTION of the input columns (~2.5 bits/weight
+    at 7B geometry)."""
+    from vptq_tpu.layers.runtime import INT2_MIXED_COL_FRACTION
+
+    blk = in_f // row_shards if row_shards > 1 else in_f
+    k_s = _mixed_cols_per_shard(blk, INT2_MIXED_COL_FRACTION)
+    k = k_s * max(1, row_shards)
+    side = out_f * k + 4 * out_f * (-(-k // 128) * 128 // 128)
+    return _int2_bytes(out_f, in_f, row_shards) + side
 
 
 def _codebook_bytes(cfg) -> int:
@@ -154,6 +191,10 @@ def linear_runtime_bytes(
         return _int3_bytes(out_f, in_f, row_shards)
     if fmt == "int3-mixed":
         return _int3_mixed_bytes(out_f, in_f, row_shards)
+    if fmt == "int2":
+        return _int2_bytes(out_f, in_f, row_shards)
+    if fmt == "int2-mixed":
+        return _int2_mixed_bytes(out_f, in_f, row_shards)
     if fmt == "bf16":
         return 2 * out_f * in_f
     if fmt == "codebook":
