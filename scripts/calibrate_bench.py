@@ -31,7 +31,8 @@ def main(argv=None) -> int:
                    help="runtime checkpoint output dir")
     p.add_argument("--fmt", default="int4-mixed",
                    choices=("int4", "int4-mixed", "int3",
-                            "int3-mixed", "int8"))
+                            "int3-mixed", "int2", "int2-mixed",
+                            "int8"))
     p.add_argument("--tokens", type=int, default=4096,
                    help="synthetic calibration token count")
     p.add_argument("--layers", type=int, default=32,
@@ -108,6 +109,9 @@ def main(argv=None) -> int:
         "int8_sites": summary["int8_sites"],
         "int4_sites": summary["int4_sites"],
         "int3_sites": summary["int3_sites"],
+        "int3_mixed_sites": summary["int3_mixed_sites"],
+        "int2_sites": summary["int2_sites"],
+        "int2_mixed_sites": summary["int2_mixed_sites"],
         "output": args.output,
     }))
     return 0

@@ -291,6 +291,115 @@ def test_int3_mixed_beats_int4_on_outlier_channels(tmp_path):
         assert bits <= 4.0, (o, i, bits)
 
 
+def test_int2_mixed_pareto_on_outlier_channels(tmp_path):
+    """The ~2.5-bit operating point's fidelity position (VERDICT r4
+    item 1 gating), on the planted-outlier eval:
+
+      * int2-mixed (~2.5 bits) must beat int4 RTN (~4.1 bits)
+        OUTRIGHT — measured KL 0.093 vs 0.137;
+      * and sit within 1.5x of int3-mixed (~3.4 bits) — measured
+        1.33x (0.093 vs 0.070).
+
+    KL parity with int3-mixed at <=2.5 SCALAR bits is out of reach on
+    Gaussian-bulk weights: 2-bit Lloyd-max distortion is 0.118
+    sigma^2 (~34% RMS; the group-64 + salience-grid + GPTQ encoder
+    achieves ~30%) vs int3's ~20% — the remaining gap needs vector
+    quantization, whose serving-speed TPU decode is measured
+    infeasible (ARCHITECTURE.md; examples/vq_smallk_probe.py). This
+    test pins the measured Pareto position: strictly dominating int4
+    RTN, 0.74x int3-mixed's bits at 1.33x its KL."""
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.quant.calibrate import (
+        quantize_model_calibrated,
+        synthetic_calibration_tokens,
+    )
+
+    _planted_checkpoint(tmp_path)
+    exact = load_model(
+        str(tmp_path), runtime_format="codebook",
+        dtype=jnp.float32, fuse=False,
+    )
+    m4 = load_model(str(tmp_path), runtime_format="int4")
+    calib = synthetic_calibration_tokens(
+        exact.cfg.vocab_size, n_tokens=1024, seq_len=256, seed=7
+    )
+    m2m, _ = quantize_model_calibrated(exact, calib, fmt="int2-mixed")
+    m3m, _ = quantize_model_calibrated(exact, calib, fmt="int3-mixed")
+
+    rng2 = np.random.default_rng(5)
+    tokens = jnp.asarray(
+        rng2.integers(0, exact.cfg.vocab_size, (2, 32)), jnp.int32
+    )
+    lcb = _batch_logits(exact, tokens)
+    kl4 = _kl(lcb, _batch_logits(m4, tokens))
+    kl2m = _kl(lcb, _batch_logits(m2m, tokens))
+    kl3m = _kl(lcb, _batch_logits(m3m, tokens))
+    assert kl2m < kl4, (kl2m, kl4)
+    assert kl2m < 1.5 * kl3m, (kl2m, kl3m)
+
+    # the byte budget holds: <= 2.52 bits/weight at 7B shapes
+    from vptq_tpu.utils.memory import linear_runtime_bytes
+
+    for o, i in ((12288, 4096), (4096, 4096), (22016, 4096),
+                 (4096, 11008)):
+        bits = linear_runtime_bytes(o, i, "int2-mixed") * 8 / (o * i)
+        assert bits <= 2.52, (o, i, bits)
+
+
+def test_int2_mixed_under_tp(midsize):
+    """The per-column contract survives blocked shard_map TP for the
+    int2 base format too (mirrors test_int3_mixed_under_tp)."""
+    import jax
+
+    from vptq_tpu.layers.runtime import Int2MixedLinear
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.parallel.sharding import make_mesh
+    from vptq_tpu.parallel.tp import (
+        forward_tp,
+        shard_cache_tp,
+        tp_specs,
+    )
+
+    mesh = make_mesh(
+        data=1, model=2, devices=np.asarray(jax.devices()[:2])
+    )
+    model_tp = load_model(
+        midsize, runtime_format="int2-mixed", calibration=512,
+        mesh=mesh, parallel="tp",
+    )
+    down = model_tp.blocks[0].mlp.down_proj
+    assert isinstance(down, Int2MixedLinear), type(down)
+    idx = np.asarray(jax.device_get(down.col_idx))
+    assert idx.size % 2 == 0
+    blk = 1024 // 2  # midsize intermediate / TP size
+    assert idx.max() < blk  # shard-LOCAL ids
+
+    single = load_model(
+        midsize, runtime_format="int2-mixed", calibration=512
+    )
+    exact = load_model(
+        midsize, runtime_format="codebook",
+        dtype=jnp.float32, fuse=False,
+    )
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(
+        rng.integers(0, exact.cfg.vocab_size, (1, 32)), jnp.int32
+    )
+    lcb = _batch_logits(exact, tokens)
+    l_single = _batch_logits(single, tokens)
+
+    cache_tp = shard_cache_tp(init_cache(single.cfg, 1, 40), mesh)
+    with mesh:
+        l_tp, _ = forward_tp(
+            model_tp, tokens, cache_tp, tp_specs(model_tp), mesh
+        )
+    l_tp = np.asarray(l_tp, np.float64)
+
+    kl_single = _kl(lcb, l_single)
+    kl_tp = _kl(lcb, l_tp)
+    assert kl_tp < kl_single * 1.5, (kl_tp, kl_single)
+
+
 def test_int3_mixed_under_tp(midsize):
     """The per-column contract survives blocked shard_map TP:
     row-parallel sites (o/down) select the same column count per

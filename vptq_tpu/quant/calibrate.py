@@ -430,25 +430,31 @@ def _select_cols(
     hess: Optional[np.ndarray],
     col_frac: float,
     shards: int = 1,
+    base_bits: Optional[int] = None,
 ) -> np.ndarray:
     """Top-sensitivity input COLUMNS of one site (joint over members,
     so q|k|v share one selection and stay fusable).
 
     Column sensitivity = ``diag(H)[c] * sum_r w[r,c]^2`` — the
     first-order output energy a column carries (input second moment x
-    weight energy). Per-column (not per-128-group) granularity is the
-    point: real-model salient channels are SCATTERED, so a handful of
-    them pollutes many scale groups; pulling the individual columns
-    out both carries them exactly in int8 and lets every polluted
-    int3 group re-tighten its absmax scale (the encode zeroes them
-    before picking scales). Floor of 128 columns keeps the int8 side
-    matmul kernel-shaped.
+    weight energy). A measured alternative — RTN quantization-error
+    mass under the base grid — scored WORSE on the planted-outlier
+    eval (int2-mixed KL 0.093 energy vs 0.106 error-mass): energy
+    also captures the scale re-tightening the extraction buys for the
+    REMAINING columns of each polluted group. Per-column (not
+    per-128-group) granularity is the point: real-model salient
+    channels are SCATTERED, so a handful of them pollutes many scale
+    groups; pulling the individual columns out both carries them
+    exactly in int8 and lets every polluted group re-tighten its
+    absmax scale (the encode zeroes them before picking scales).
+    Floor of 128 columns keeps the int8 side matmul kernel-shaped.
 
     ``shards > 1`` (blocked shard_map TP, row-parallel sites): the
     SAME count is selected inside every contiguous column shard, so
     each device's local gather + int8 side matmul has a static
     shard-uniform shape. Returned columns are global, shard-major.
     """
+    del base_bits  # see docstring: energy beat error-mass, measured
     in_f = weights[0].shape[1]
     col_e = np.zeros(in_f, np.float64)
     for w in weights:
@@ -603,7 +609,7 @@ def _quantize_site(
         base_bits = 2 if fmt == "int2-mixed" else 3
         cols = _select_cols(
             [w for _p, w, _b in weights], hess, col_frac,
-            shards=row_shards,
+            shards=row_shards, base_bits=base_bits,
         )
         out, errs = [], []
         for path, w, bias in weights:

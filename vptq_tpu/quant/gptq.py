@@ -69,6 +69,7 @@ def _group_scale(
     w_group: np.ndarray, qmin: int, qmax: int, div: float,
     bf16_scales: bool, candidates: Sequence[float],
     offset: float = 0.0,
+    col_weights: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Per-row scale for one column group of (updated) weights.
 
@@ -76,22 +77,35 @@ def _group_scale(
     factors, RTN round-trip error as the criterion — the error
     feedback downstream only improves on that choice). ``offset``:
     quantized levels are ``(q + offset) * s`` (the int2 half-offset
-    grid).
+    grid). ``col_weights``: per-column error weights — the Hessian
+    diagonal when calibration data exists, making the grid search
+    salience-aware (clipping error on a high-activation column costs
+    its true output energy, not its flat MSE; matters most at 2-bit
+    where the grid clips aggressively).
     """
     absmax = np.abs(w_group).max(axis=1)
     base = np.where(absmax > 0, absmax / div, 1.0).astype(np.float32)
     rnd = _bf16_rne if bf16_scales else lambda v: v
+    cw = (
+        None
+        if col_weights is None
+        else col_weights[None, :].astype(np.float32)
+    )
+
+    def werr(dw2):
+        return (dw2 if cw is None else dw2 * cw).sum(axis=1)
+
     scale = rnd(base)
     q = np.clip(
         np.round(w_group / scale[:, None] - offset), qmin, qmax
     )
-    best = ((w_group - (q + offset) * scale[:, None]) ** 2).sum(axis=1)
+    best = werr((w_group - (q + offset) * scale[:, None]) ** 2)
     for f in candidates[1:]:
         s = rnd(base * np.float32(f))
         qc = np.clip(
             np.round(w_group / s[:, None] - offset), qmin, qmax
         )
-        err = ((w_group - (qc + offset) * s[:, None]) ** 2).sum(axis=1)
+        err = werr((w_group - (qc + offset) * s[:, None]) ** 2)
         better = err < best
         best = np.where(better, err, best)
         scale = np.where(better, s, scale)
@@ -226,15 +240,18 @@ def gptq_quantize(
     u32 = u.astype(np.float32)
 
     wrk = w.astype(np.float32, copy=True)
+    hdiag = np.asarray(
+        np.einsum("ii->i", np.asarray(hessian)), np.float32
+    )
     # dead inputs (never activated): quantize to zero, no feedback
-    dead = np.asarray(np.einsum("ii->i", np.asarray(hessian)) <= 0)
+    dead = hdiag <= 0
     if dead.any():
         wrk[:, dead] = 0.0
 
     for gi, (g0, g1) in enumerate(spans):
         s = _group_scale(
             wrk[:, g0:g1], qmin, qmax, div, bf16_scales,
-            scale_candidates, offset,
+            scale_candidates, offset, hdiag[g0:g1],
         )
         scales[:, gi] = s
         inv_s = 1.0 / s

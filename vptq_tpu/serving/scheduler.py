@@ -596,7 +596,11 @@ class Scheduler:
             adm.cache1 = KVCache(
                 k=tuple(b[i: i + 1] for b in cache.k),
                 v=tuple(b[i: i + 1] for b in cache.v),
-                lengths=cache.lengths[i: i + 1],
+                # the batched prefill ran at the padded bucket length;
+                # store the REAL prompt length (padding keys are
+                # zeros, masked by length) so any reader of
+                # cache1.lengths sees the true state
+                lengths=jnp.full((1,), adm.last_len, jnp.int32),
             )
             adm.done = adm.last_len
             self._finish_admission(adm)

@@ -73,6 +73,21 @@ GEOMETRIES = {
         num_hidden_layers=80, num_attention_heads=64,
         num_key_value_heads=8, head_dim=128,
     ),
+    # meta-llama/Llama-3.1-405B config.json — BASELINE configs #5
+    # (the reference quantizes it in ~17 h, README.md:47; serving it
+    # needs the multi-host plan the reference outsources to external
+    # forks, documents/deepseek.md:36-88)
+    "llama3-405b": dict(
+        vocab_size=128256, hidden_size=16384,
+        intermediate_size=53248, num_hidden_layers=126,
+        num_attention_heads=128, num_key_value_heads=8, head_dim=128,
+    ),
+    # mistralai/Mistral-Large-Instruct-2407 (123B) config.json
+    "mistral-large-123b": dict(
+        vocab_size=32768, hidden_size=12288,
+        intermediate_size=28672, num_hidden_layers=88,
+        num_attention_heads=96, num_key_value_heads=8, head_dim=128,
+    ),
     "mixtral-8x7b": dict(
         vocab_size=32000, hidden_size=4096, intermediate_size=14336,
         num_hidden_layers=32, num_attention_heads=32,
@@ -116,9 +131,17 @@ E2E_GBPS = {
     "int8": 614.6,
     "int4": 544.0,
     "int3": 170.0,
+    # int2: from the round-5 measured `bench.py --int2-mixed` decode
+    # (67.8 tok/s at 2.16 GB streamed/tok, with side+lm_head shares
+    # at their own rates backed out via this same model)
+    "int2": 150.0,
     "bf16": 614.6,
     "codebook": 0.76,
 }
+
+# mixed formats stream their base planes at the base rate and their
+# int8 side matrices at the int8 rate (predict_decode_tok_s)
+_MIXED_BASE = {"int3-mixed": "int3", "int2-mixed": "int2"}
 
 _V5E_HBM_GBPS = 819.0  # utils/profiling.V5E_HBM_GBPS
 
@@ -167,7 +190,7 @@ def predict_decode_tok_s(
     """
     from vptq_tpu.utils import memory as hbm
 
-    base_fmt = "int3" if fmt == "int3-mixed" else fmt
+    base_fmt = _MIXED_BASE.get(fmt, fmt)
     if base_fmt not in E2E_GBPS:
         raise ValueError(f"no measured rate for format {fmt!r}")
     tp = chips if chips > 1 else 1
@@ -178,7 +201,7 @@ def predict_decode_tok_s(
     n_exp = cfg.n_routed_experts or cfg.num_local_experts
     stream = est["blocks"]
     side_bytes = 0
-    if fmt == "int3-mixed":
+    if fmt in _MIXED_BASE:
         # the int8 side matrices stream at the int8 rate
         side_bytes = (
             hbm.estimate_model_bytes(
@@ -322,12 +345,31 @@ def _abs_linear(
             scales=_abs((out_f, in_p // 128), jnp.bfloat16),
             bias=None,
         )
+    if fmt == "int2":
+        from vptq_tpu.layers.runtime import Int2Linear
+
+        if row_shards > 1:
+            blk = (in_f + row_shards - 1) // row_shards
+            lip = blk + ((-blk) % 1024)
+            return Int2Linear(
+                wq=_abs((out_f, row_shards * lip // 4), jnp.int8),
+                scales=_abs(
+                    (out_f, row_shards * (lip // 64)), jnp.bfloat16
+                ),
+                bias=None,
+            )
+        in_p = in_f + ((-in_f) % 1024)
+        return Int2Linear(
+            wq=_abs((out_f, in_p // 4), jnp.int8),
+            scales=_abs((out_f, in_p // 64), jnp.bfloat16),
+            bias=None,
+        )
     if fmt == "bf16":
         return DenseLinear(
             weight=_abs((out_f, in_f), jnp.bfloat16), bias=None
         )
     raise ValueError(
-        f"plan supports int8/int4/int3/bf16/codebook, not {fmt!r}"
+        f"plan supports int8/int4/int3/int2/bf16/codebook, not {fmt!r}"
     )
 
 
@@ -525,7 +567,7 @@ def _tp_abstract_specs(model: Model, axis: str = "model") -> Model:
 
     from vptq_tpu.layers.dense import DenseLinear
 
-    from vptq_tpu.layers.runtime import Int3Linear
+    from vptq_tpu.layers.runtime import Int2Linear, Int3Linear
 
     def col(lin):
         if lin is None:
@@ -536,6 +578,10 @@ def _tp_abstract_specs(model: Model, axis: str = "model") -> Model:
             return Int3Linear(
                 wq2=P(axis, None), wq1=P(axis, None),
                 scales=P(axis, None), bias=None,
+            )
+        if isinstance(lin, Int2Linear):
+            return Int2Linear(
+                wq=P(axis, None), scales=P(axis, None), bias=None
             )
         return type(lin)(
             wq=P(axis, None), scales=P(None, axis), bias=None
@@ -548,6 +594,10 @@ def _tp_abstract_specs(model: Model, axis: str = "model") -> Model:
             return Int3Linear(
                 wq2=P(None, axis), wq1=P(None, axis),
                 scales=P(None, axis), bias=None,
+            )
+        if isinstance(lin, Int2Linear):
+            return Int2Linear(
+                wq=P(None, axis), scales=P(None, axis), bias=None
             )
         return type(lin)(
             wq=P(None, axis), scales=P(axis, None), bias=None
@@ -715,8 +765,16 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--format", default="int4",
         choices=(
-            "int8", "int4", "int3", "int3-mixed", "bf16", "codebook"
+            "int8", "int4", "int3", "int3-mixed", "int2",
+            "int2-mixed", "bf16", "codebook",
         ),
+    )
+    ap.add_argument(
+        "--hosts", type=int, default=1,
+        help="DCN slices (data-parallel replicas). --chips is the "
+        "TOTAL chip count; each slice gets chips/hosts chips whose "
+        "model axes (pp x tp) ride ICI — collectives never cross "
+        "DCN (the two-level mesh of BASELINE configs #5)",
     )
     ap.add_argument(
         "--vq", default="v8-k65536-256",
@@ -757,11 +815,35 @@ def main(argv=None) -> int:
         # codebook's only multi-chip story is GSPMD
         print("# codebook plans under GSPMD (no shard_map-TP path)")
         args.parallel = "gspmd"
-    tp_shards = (
-        args.chips
-        if args.parallel == "tp" and args.chips > 1
-        else 1
-    )
+    if args.chips % args.hosts:
+        print(f"OVER: chips {args.chips} % hosts {args.hosts} != 0")
+        return 1
+    per_slice = args.chips // args.hosts
+
+    # two-level auto-placement: the largest ICI TP degree the
+    # geometry validates (head/vocab divisibility — GQA models cap at
+    # num_key_value_heads), pipeline stages absorb the rest of the
+    # slice. All model collectives (TP psums + PP ppermutes) stay on
+    # ICI; DCN only carries independent data-parallel replicas.
+    tp = 1
+    pp = 1
+    if args.parallel == "tp" and per_slice > 1:
+        from vptq_tpu.parallel.tp import tp_validate
+
+        for cand in range(per_slice, 0, -1):
+            if per_slice % cand:
+                continue
+            try:
+                tp_validate(cfg, cand)
+            except ValueError:
+                continue
+            tp = cand
+            break
+        # stages may be uneven (ceil(L/pp) layers max —
+        # parallel/pipeline.py pads the last stage)
+        pp = per_slice // tp
+    tp_shards = tp if args.parallel == "tp" else 1
+
     est = hbm.estimate_model_bytes(
         cfg, args.format, tp_shards=tp_shards, default_vq=vq
     )
@@ -770,16 +852,20 @@ def main(argv=None) -> int:
         cfg, hbm_bytes=int(args.hbm_gb * hbm.GiB),
         batch=args.batch, max_seq=args.max_seq,
         formats=(
-            "codebook", "int3", "int3-mixed", "int4", "int8", "bf16"
+            "codebook", "int2", "int2-mixed", "int3", "int3-mixed",
+            "int4", "int8", "bf16",
         ),
         default_vq=vq,
     )
-    print(f"# {args.geometry} @ {args.format}, {args.chips} chip(s)")
+    print(
+        f"# {args.geometry} @ {args.format}, {args.chips} chip(s) = "
+        f"{args.hosts} DCN slice(s) x (pp={pp} x tp={tp}) on ICI"
+    )
     print(hbm.format_budget_table(table))
     try:
         hbm.check_budget(
             est["total"] + kv,
-            args.chips,
+            per_slice,
             int(args.hbm_gb * hbm.GiB),
             what=f"{args.geometry} ({args.format})",
         )
@@ -787,23 +873,54 @@ def main(argv=None) -> int:
         print(f"OVER BUDGET: {e}")
         return 1
     print(
-        f"fits: {(est['total'] + kv) / args.chips / hbm.GiB:.2f}"
-        f" GiB/chip of {args.hbm_gb:.1f}"
+        f"fits: {(est['total'] + kv) / per_slice / hbm.GiB:.2f}"
+        f" GiB/chip of {args.hbm_gb:.1f} (weights live once per "
+        f"slice)"
     )
-    tok_s = predict_decode_tok_s(
-        cfg, args.format, args.chips, args.batch, args.max_seq,
-        ici_us=args.ici_us,
+
+    def replica_tok_s(ici):
+        # single-stream decode through one slice: pipeline stages
+        # stream sequentially, each tp-wide (total weight-stream time
+        # is model/(tp*rate) regardless of pp) + one ppermute hop per
+        # stage boundary
+        t = 1.0 / predict_decode_tok_s(
+            cfg, args.format, max(tp, 1), args.batch, args.max_seq,
+            ici_us=ici,
+        )
+        t += (pp - 1) * ici * 1e-6
+        return args.batch / t
+
+    tok_s = replica_tok_s(args.ici_us)
+    lo, hi = replica_tok_s(20.0), replica_tok_s(1.0)
+    bar = (
+        f" [{lo:.1f}..{hi:.1f} over ici_us 20..1 — the collective "
+        f"term is UNVALIDATED on real multi-chip hardware]"
+        if per_slice > 1
+        else ""
     )
     print(
-        f"predicted decode: {tok_s:.1f} tok/s @ batch {args.batch} "
-        f"(e2e-rate cost model; single-chip backcast within 3% of "
-        f"the 7B int4/int3 benches, 13B cross-check in "
-        f"ARCHITECTURE.md)"
+        f"predicted decode: {tok_s:.1f} tok/s per slice @ batch "
+        f"{args.batch}{bar}"
+    )
+    if args.hosts > 1 or pp > 1:
+        print(
+            f"aggregate throughput: {args.hosts} slice(s) x "
+            f"{pp} pipelined microbatch(es) -> up to "
+            f"{args.hosts * pp * tok_s:.1f} tok/s at batch >= "
+            f"{pp * args.batch} per slice (1F schedule, "
+            f"parallel/pipeline.py)"
+        )
+    print(
+        "(e2e-rate cost model; single-chip backcast within 3% of "
+        "the 7B int4/int3 benches, 13B cross-check in "
+        "ARCHITECTURE.md)"
     )
     if args.compile:
         import numpy as np
 
-        if len(jax.devices()) < args.chips:
+        mesh_chips = tp if args.parallel == "tp" else per_slice
+        mesh_chips = max(mesh_chips, 1)
+        if len(jax.devices()) < mesh_chips:
             print(
                 f"(only {len(jax.devices())} devices visible — "
                 "compiling on a forced CPU mesh)"
@@ -815,22 +932,49 @@ def main(argv=None) -> int:
             os.environ["JAX_PLATFORMS"] = "cpu"
             jax.config.update("jax_platforms", "cpu")
             _backend.clear_backends()
-            jax.config.update("jax_num_cpu_devices", args.chips)
+            jax.config.update("jax_num_cpu_devices", mesh_chips)
         mesh = make_mesh(
-            data=1, model=args.chips,
-            devices=np.asarray(jax.devices()[: args.chips]),
+            data=1, model=mesh_chips,
+            devices=np.asarray(jax.devices()[:mesh_chips]),
         )
         compile_fmt = args.format
-        if compile_fmt == "int3-mixed":
-            # int3-mixed is single-device calibrated output (under TP
-            # it falls back to site-level mixing, whose graph is the
-            # int3/int8 pair already covered) — validate the int3
-            # base-plan graph
-            print("# compiling the int3 base plan (int3-mixed is a "
-                  "single-device calibrated layout)")
-            compile_fmt = "int3"
+        if compile_fmt in ("int3-mixed", "int2-mixed"):
+            # abstract_runtime_model cannot build the CALIBRATED
+            # per-column mixed layout (the column selection is a
+            # calibration output); the validated graph is the base
+            # plane plan — it omits the int8 side-gather/matmul, so
+            # the printed memory analysis slightly underreports the
+            # mixed footprint (the budget table above carries the
+            # full mixed bytes)
+            compile_fmt = (
+                "int3" if compile_fmt == "int3-mixed" else "int2"
+            )
+            print(
+                f"# compiling the {compile_fmt} base plan (the "
+                "calibrated per-column side matrices are a "
+                "calibration output; memory analysis below omits "
+                "them)"
+            )
+        if pp > 1:
+            # validate ONE pipeline stage's graph at full width: the
+            # per-stage decode step over the tp sub-mesh (the
+            # TPPipelineRunner composition itself is exercised by the
+            # driver dryrun, __graft_entry__.dryrun_multichip)
+            import dataclasses
+
+            cfg_c = dataclasses.replace(
+                cfg,
+                num_hidden_layers=-(-cfg.num_hidden_layers // pp),
+                tie_word_embeddings=False,
+            )
+            print(
+                f"# compiling one of {pp} pipeline stages "
+                f"({cfg_c.num_hidden_layers} layers, tp={tp})"
+            )
+        else:
+            cfg_c = cfg
         compiled = validate_plan(
-            cfg, compile_fmt, mesh, args.batch, args.max_seq,
+            cfg_c, compile_fmt, mesh, args.batch, args.max_seq,
             parallel=args.parallel, vq=vq,
         )
         mem = compiled.memory_analysis()
