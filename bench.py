@@ -486,6 +486,7 @@ def run_serving(model, fmt, chunk, depth):
         "admit_s": round(s["admit_s"], 2),
         "batched_admissions": s["batched_admissions"],
         "prefill_ahead": s["prefill_ahead"],
+        "handoffs": s["handoffs"],
         "steps": s["steps"],
         "chunks": s["chunks"],
     }

@@ -37,6 +37,14 @@ def main(argv=None) -> int:
                    help="synthetic calibration token count")
     p.add_argument("--layers", type=int, default=32,
                    help="decoder blocks (32 = full 7B)")
+    p.add_argument("--geometry", default="llama2-7b",
+                   help="model geometry (tools/plan.py GEOMETRIES) — "
+                        "e.g. llama2-70b with --layers 2 measures the "
+                        "genuine 70B per-block calibration wall time")
+    p.add_argument("--resume-dir", default=None,
+                   help="checkpoint each finished block here; an "
+                        "interrupted run restarted with the same dir "
+                        "resumes at the first unfinished block")
     p.add_argument("--backend", default="cpu",
                    help="jax platform for the capture forwards (the "
                         "eager capture runs op-by-op: on a tunneled "
@@ -70,7 +78,8 @@ def main(argv=None) -> int:
     import numpy as np
 
     t0 = time.time()
-    model = build_7b_int8(np.random.default_rng(0), fmt="codebook")
+    model = build_7b_int8(np.random.default_rng(0), fmt="codebook",
+                          geometry=args.geometry)
     if args.layers < len(model.blocks):
         import dataclasses
 
@@ -93,14 +102,15 @@ def main(argv=None) -> int:
     )
     t0 = time.time()
     qmodel, report = quantize_model_calibrated(
-        model, tokens, fmt=args.fmt, upload=False
+        model, tokens, fmt=args.fmt, upload=False,
+        resume_dir=args.resume_dir,
     )
     calib_s = time.time() - t0
 
     export_runtime(qmodel, args.output)
     summary = report["summary"]
     print(json.dumps({
-        "metric": f"calibration_wall_s_7b_{args.fmt}",
+        "metric": f"calibration_wall_s_{args.geometry.replace(chr(45), chr(95))}_{args.fmt}",
         "value": round(calib_s, 1),
         "unit": "s",
         "layers": args.layers,

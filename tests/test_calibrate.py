@@ -580,3 +580,122 @@ def test_int4_mixed_under_tp(midsize):
     kl_single = _kl(lcb, l_single)
     kl_tp = _kl(lcb, l_tp)
     assert kl_tp < kl_single * 1.5, (kl_tp, kl_single)
+
+
+def test_calibration_resume_after_kill(tmp_path, monkeypatch):
+    """Interruption resilience (VERDICT r4 item 6): killing the
+    calibration at block N and re-running with the same resume_dir
+    continues from block N and produces the same model as an
+    uninterrupted run."""
+    import vptq_tpu.quant.calibrate as cal
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.quant.calibrate import (
+        quantize_model_calibrated,
+        synthetic_calibration_tokens,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    _midsize_checkpoint(ckpt)
+    exact = load_model(
+        str(ckpt), runtime_format="codebook",
+        dtype=jnp.float32, fuse=False,
+    )
+    calib = synthetic_calibration_tokens(
+        exact.cfg.vocab_size, n_tokens=512, seq_len=256, seed=7
+    )
+    rdir = str(tmp_path / "resume")
+
+    real_capture = cal._capture_block
+
+    def dying_capture(i, *a, **kw):
+        if i == 2:
+            raise RuntimeError("simulated kill -9")
+        return real_capture(i, *a, **kw)
+
+    monkeypatch.setattr(cal, "_capture_block", dying_capture)
+    with pytest.raises(RuntimeError, match="simulated"):
+        quantize_model_calibrated(
+            exact, calib, fmt="int4", resume_dir=rdir
+        )
+    monkeypatch.setattr(cal, "_capture_block", real_capture)
+
+    # blocks 0-1 were checkpointed; the resumed run must SKIP them
+    def no_redo_capture(i, *a, **kw):
+        assert i >= 2, f"block {i} was re-captured after resume"
+        return real_capture(i, *a, **kw)
+
+    monkeypatch.setattr(cal, "_capture_block", no_redo_capture)
+    resumed, _ = quantize_model_calibrated(
+        exact, calib, fmt="int4", resume_dir=rdir
+    )
+    monkeypatch.setattr(cal, "_capture_block", real_capture)
+
+    straight, _ = quantize_model_calibrated(exact, calib, fmt="int4")
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(
+        rng.integers(0, exact.cfg.vocab_size, (1, 24)), jnp.int32
+    )
+    lr = _batch_logits(resumed, tokens)
+    ls = _batch_logits(straight, tokens)
+    np.testing.assert_allclose(lr, ls, rtol=1e-4, atol=1e-4)
+
+
+def test_mixed_formats_on_realistic_statistics(tmp_path):
+    """Gate the mixed formats on the HEAVY-TAILED generator (VERDICT
+    r4 item 2: every previous fidelity gate was Gaussian): per-column
+    extraction must still pay for itself when weights have Student-t
+    marginals and lognormal channel structure."""
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.quant.calibrate import synthetic_calibration_tokens
+    from vptq_tpu.utils.synth_checkpoint import (
+        tiny_model_config,
+        write_synthetic_checkpoint,
+    )
+
+    mc = tiny_model_config(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        head_dim=32,
+    )
+    write_synthetic_checkpoint(
+        tmp_path, mc,
+        vq_kwargs=dict(
+            vector_len=8, num_centroids=1024, num_res_centroids=64,
+            enable_norm=True, is_indice_packed=True,
+        ),
+        seed=3,
+        heavy_tailed=True,
+    )
+    exact = load_model(
+        str(tmp_path), runtime_format="codebook",
+        dtype=jnp.float32, fuse=False,
+    )
+    calib = synthetic_calibration_tokens(
+        exact.cfg.vocab_size, n_tokens=512, seq_len=256, seed=7
+    )
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(
+        rng.integers(0, exact.cfg.vocab_size, (2, 32)), jnp.int32
+    )
+    lcb = _batch_logits(exact, tokens)
+
+    def kl_of(**kwargs):
+        m = load_model(str(tmp_path), **kwargs)
+        return _kl(lcb, _batch_logits(m, tokens))
+
+    kl3 = kl_of(runtime_format="int3")
+    kl3m = kl_of(runtime_format="int3-mixed", calibration=calib)
+    kl2 = kl_of(runtime_format="int2")
+    kl2m = kl_of(runtime_format="int2-mixed", calibration=calib)
+    assert kl3m < kl3, (kl3m, kl3)
+    assert kl2m < kl2, (kl2m, kl2)
+    # NOTE no cross-format ratio gate at this toy width: the 128-col
+    # extraction floor is HALF of 256 input columns, which distorts
+    # the int2m/int3m relationship. The midsize cross-format ladder
+    # lives in the committed FIDELITY.json (scripts/
+    # fidelity_gauntlet.py): int2-mixed 0.163 vs int3-mixed 0.130
+    # vs int4-rtn 0.142 logit KL at 2.5/3.5/4.2 bits.

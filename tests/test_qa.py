@@ -215,3 +215,109 @@ def test_qa_cli_end_to_end(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "arc_easy: acc" in out
     assert "headline metric = acc_norm" in out
+
+
+def _write_toy_hf_tokenizer(d):
+    """A real HF-format fast tokenizer (tokenizer.json, ~200-word
+    WordLevel vocab) — the integration fixture VERDICT r4 item 8
+    asked for, so the first real-checkpoint run is not the
+    tokenizer path's integration test."""
+    import json as _json
+    from pathlib import Path
+
+    d = Path(d)
+    d.mkdir(parents=True, exist_ok=True)
+    words = (
+        "the a an is are of and to in for on pick one two three "
+        "answer question choice correct wrong true false yes no "
+        "what which where who why how it this that".split()
+    )
+    words += [f"w{i}" for i in range(200 - len(words) - 2)]
+    vocab = {"<unk>": 0, ":": 1}
+    for w in words:
+        vocab[w] = len(vocab)
+    tok = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [
+            {
+                "id": 0, "content": "<unk>", "single_word": False,
+                "lstrip": False, "rstrip": False,
+                "normalized": False, "special": True,
+            }
+        ],
+        "normalizer": {"type": "Lowercase"},
+        "pre_tokenizer": {"type": "Whitespace"},
+        "post_processor": None,
+        "decoder": None,
+        "model": {
+            "type": "WordLevel",
+            "vocab": vocab,
+            "unk_token": "<unk>",
+        },
+    }
+    (d / "tokenizer.json").write_text(_json.dumps(tok))
+    (d / "tokenizer_config.json").write_text(
+        _json.dumps(
+            {
+                "tokenizer_class": "PreTrainedTokenizerFast",
+                "model_max_length": 1 << 20,
+            }
+        )
+    )
+    return d
+
+
+def test_qa_cli_with_real_hf_tokenizer(tmp_path, capsys):
+    """End-to-end through the REAL transformers tokenizer path
+    (AutoTokenizer on an HF-format tokenizer.json fixture), not the
+    byte fallback — VERDICT r4 item 8."""
+    from vptq_tpu.eval.qa import main
+
+    write_synthetic_checkpoint(
+        tmp_path / "ckpt",
+        tiny_model_config(),
+        vq_kwargs=dict(
+            vector_len=4, num_centroids=64, num_res_centroids=16,
+            enable_norm=True, is_indice_packed=True,
+        ),
+        seed=13,
+    )
+    tok_dir = _write_toy_hf_tokenizer(tmp_path / "tok")
+
+    # sanity: the fixture loads through transformers and tokenizes
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(str(tok_dir))
+    ids = tok("pick one answer", add_special_tokens=False)[
+        "input_ids"
+    ]
+    assert len(ids) == 3 and all(0 < i < 200 for i in ids)
+
+    records = [
+        {
+            "question": f"pick one w{i}",
+            "choices": {
+                "text": ["true answer", "wrong w9"],
+                "label": ["A", "B"],
+            },
+            "answerKey": "A",
+        }
+        for i in range(3)
+    ]
+    _write(tmp_path / "arc.jsonl", records, jsonl=True)
+    rc = main(
+        [
+            "--model", str(tmp_path / "ckpt"),
+            "--task", "arc_easy",
+            "--data", str(tmp_path / "arc.jsonl"),
+            "--tokenizer", str(tok_dir),
+            "--runtime-format", "bf16",
+            "--batch", "2",
+            "--max-seq", "64",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "arc_easy: acc" in out

@@ -712,6 +712,8 @@ def quantize_model_calibrated(
     fuse: bool = True,
     tp_shards: int = 1,
     upload: bool = True,
+    resume_dir: Optional[str] = None,
+    site_workers: int = 2,
 ) -> Tuple[object, Dict[str, dict]]:
     """Calibrated re-encode of a codebook-format model.
 
@@ -815,12 +817,77 @@ def quantize_model_calibrated(
 
     t_start = _time.time()
 
+    # ---- interruption resilience (VERDICT r4 item 6): with
+    # resume_dir, each completed block's quantized layers and the
+    # propagated activation state are checkpointed — kill -9 at block
+    # N restarts at block N instead of block 0 (the 7B calibration is
+    # ~2.8 h on this host; 70B projects to a working day). Only ``x``
+    # needs saving between blocks: capture forwards run fresh-prefill
+    # attention, so earlier layers' KV slots are never read again.
+    import os as _os
+    import pickle as _pickle
+
+    manifest = {"phase": "rank", "next_block": 0, "sens": {}}
+    if resume_dir is not None:
+        _os.makedirs(resume_dir, exist_ok=True)
+        mpath = _os.path.join(resume_dir, "manifest.json")
+        if _os.path.exists(mpath):
+            import json as _json
+
+            with open(mpath) as f:
+                manifest = _json.load(f)
+            logger.info(
+                "resuming calibration: phase=%s block=%d",
+                manifest["phase"], manifest["next_block"],
+            )
+
+    def _save_manifest(phase, next_block, x_arr, sens=None):
+        if resume_dir is None:
+            return
+        import json as _json
+
+        with open(
+            _os.path.join(resume_dir, "state.pkl"), "wb"
+        ) as f:
+            _pickle.dump(np.asarray(jax.device_get(x_arr)), f)
+        tmp = _os.path.join(resume_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "phase": phase,
+                    "next_block": next_block,
+                    "sens": sens if sens is not None else {},
+                },
+                f,
+            )
+        _os.replace(
+            tmp, _os.path.join(resume_dir, "manifest.json")
+        )
+
+    def _load_x():
+        with open(
+            _os.path.join(resume_dir, "state.pkl"), "rb"
+        ) as f:
+            return jnp.asarray(_pickle.load(f))
+
     # ---- ranking pass: measured per-site sensitivity -> int8 set ----
     forced_int8: set = set()
     if int8_fraction is not None and fmt != "int8":
         x, cos, sin, cache = fresh_inputs()
         sens: Dict[str, float] = {}
+        rank_start = 0
+        if resume_dir is not None and manifest["phase"] == "rank":
+            rank_start = manifest["next_block"]
+            sens = dict(manifest.get("sens", {}))
+            if rank_start > 0:
+                x = _load_x()
+        elif resume_dir is not None:
+            # ranking already finished in the interrupted run
+            rank_start = len(model.blocks)
+            sens = dict(manifest.get("sens", {}))
         for i, block in enumerate(model.blocks):
+            if i < rank_start:
+                continue
             t_blk = _time.time()
             sites = _site_map(block)
             x, cache, hessians = _capture_block(
@@ -849,6 +916,7 @@ def quantize_model_calibrated(
                 "ranking pass block %d/%d (%.1fs, ETA %.0fs)",
                 done, total, _time.time() - t_blk, eta,
             )
+            _save_manifest("rank", i + 1, x, sens)
         n8 = int(round(len(sens) * int8_fraction))
         ranked = sorted(sens, key=sens.get, reverse=True)
         forced_int8 = set(ranked[:n8])
@@ -860,19 +928,41 @@ def quantize_model_calibrated(
         )
 
     # ---- main pass: capture + GPTQ + propagate quantized stream ----
+    from concurrent.futures import ThreadPoolExecutor
+
     t_main = _time.time()
     x, cos, sin, cache = fresh_inputs()
     new_blocks = []
+    main_start = 0
+    if resume_dir is not None and manifest["phase"] == "main":
+        main_start = manifest["next_block"]
+        if main_start > 0:
+            x = _load_x()
+            for bi in range(main_start):
+                with open(
+                    _os.path.join(resume_dir, f"block_{bi:04d}.pkl"),
+                    "rb",
+                ) as f:
+                    qb, rep_b = _pickle.load(f)
+                new_blocks.append(qb)
+                for k, v in rep_b.items():
+                    report.setdefault(k, {}).update(v)
     for i, block in enumerate(model.blocks):
+        if i < main_start:
+            continue
         t_blk = _time.time()
         sites = _site_map(block)
         x_cap, cache, hessians = _capture_block(
             i, block, sites, x, cos, sin, cache, cfg
         )
 
-        # quantize each site (joint format decision per site)
+        # quantize each site (joint format decision per site) — sites
+        # are independent given their Hessians, so they encode in a
+        # small thread pool (the heavy Cholesky/GEMM work is in BLAS/
+        # LAPACK, which release the GIL; 2 workers overlap one site's
+        # Python-loop overhead with another's factorization)
         qblock = block
-        any_quantized = False
+        work = []
         for site, paths in sites.items():
             members = [
                 (p, _get(block, p))
@@ -883,7 +973,11 @@ def quantize_model_calibrated(
                 continue
             key = f"layers.{i}.{site}"
             h = hessians[site]
-            encoded, site_rep = _quantize_site(
+            work.append((key, site, members, h))
+
+        def encode_site(item):
+            key, site, members, h = item
+            return key, _quantize_site(
                 members,
                 h.h if h.count else None,
                 fmt,
@@ -897,10 +991,20 @@ def quantize_model_calibrated(
                 ),
                 col_frac=col_frac,
             )
+
+        if site_workers > 1 and len(work) > 1:
+            with ThreadPoolExecutor(site_workers) as pool:
+                results = list(pool.map(encode_site, work))
+        else:
+            results = [encode_site(w) for w in work]
+
+        rep_block: Dict[str, dict] = {}
+        for key, (encoded, site_rep) in results:
             for path, new_lin in encoded:
                 qblock = _set(qblock, path, new_lin)
             report.setdefault(key, {}).update(site_rep)
-            any_quantized = True
+            rep_block.setdefault(key, {}).update(site_rep)
+        any_quantized = bool(results)
 
         if any_quantized:
             # propagate the QUANTIZED activations to later blocks
@@ -910,6 +1014,21 @@ def quantize_model_calibrated(
         else:
             x = x_cap
         new_blocks.append(qblock)
+        if resume_dir is not None:
+            with open(
+                _os.path.join(resume_dir, f"block_{i:04d}.pkl"), "wb"
+            ) as f:
+                _pickle.dump(
+                    (jax.tree.map(
+                        lambda a: np.asarray(jax.device_get(a))
+                        if hasattr(a, "dtype") else a,
+                        qblock,
+                    ), rep_block),
+                    f,
+                )
+            _save_manifest(
+                "main", i + 1, x, manifest.get("sens", {})
+            )
         done, total = i + 1, len(model.blocks)
         eta = (_time.time() - t_main) / done * (total - done)
         logger.info(

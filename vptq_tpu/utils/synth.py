@@ -61,12 +61,37 @@ def make_numpy_planes(
     dtype=np.float32,
     mean: float = 2e-2,
     std: float = 0.5,
+    heavy_tailed: bool = False,
 ) -> Dict[str, Optional[np.ndarray]]:
-    """Random normalized parameter planes for one layer."""
+    """Random normalized parameter planes for one layer.
+
+    ``heavy_tailed``: draw realistic LLM-like statistics instead of
+    Gaussian (VERDICT r4 item 2 — every fidelity number was
+    synthetic-Gaussian before):
+
+      * centroid components from Student-t (df=4, variance-matched)
+        — published LLM weight marginals have kurtosis well above
+        Gaussian (df ~3-5 fits the reported excess);
+      * per-input-channel ``weight_scale`` lognormal (sigma=0.5) with
+        ~0.8% scattered outlier channels boosted 4-10x — the
+        structured channel-outlier pattern (massive activations /
+        salient channels) that group-quantizers degrade on most.
+
+    The exact dequant of such a layer is
+    ``centroid_t4 * lognormal_channel_scale`` per element: heavy
+    marginal tails AND per-channel structure.
+    """
     rng = np.random.default_rng(seed)
 
-    def normal(shape):
+    def gauss(shape):
         return (mean + std * rng.standard_normal(shape)).astype(dtype)
+
+    def normal(shape):
+        if heavy_tailed:
+            # t(df=4) has variance df/(df-2)=2 — rescale to std
+            t = rng.standard_t(4, size=shape) / np.sqrt(2.0)
+            return (mean + std * t).astype(dtype)
+        return gauss(shape)
 
     c, k, v = cfg.num_codebooks, cfg.num_main_centroids, cfg.vector_len
     planes: Dict[str, Optional[np.ndarray]] = {
@@ -98,9 +123,18 @@ def make_numpy_planes(
     if cfg.enable_perm:
         planes["perm"] = rng.permutation(cfg.in_features).astype(np.uint16)
     if cfg.enable_norm:
-        planes["weight_scale"] = (
-            1.0 + 0.1 * rng.standard_normal(cfg.in_features)
-        ).astype(dtype)
+        if heavy_tailed:
+            ws = np.exp(
+                0.5 * rng.standard_normal(cfg.in_features)
+            ).astype(np.float64)
+            n_out = max(4, cfg.in_features // 128)
+            sel = rng.choice(cfg.in_features, n_out, replace=False)
+            ws[sel] *= rng.uniform(4.0, 10.0, n_out)
+            planes["weight_scale"] = ws.astype(dtype)
+        else:
+            planes["weight_scale"] = (
+                1.0 + 0.1 * rng.standard_normal(cfg.in_features)
+            ).astype(dtype)
         planes["weight_bias"] = (
             0.05 * rng.standard_normal(cfg.in_features)
         ).astype(dtype)

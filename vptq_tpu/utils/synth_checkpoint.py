@@ -49,9 +49,12 @@ def _layer_tensors(
     cfg: VQLinearConfig,
     seed: int,
     dtype=np.float16,
+    heavy_tailed: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Tensors of one quantized linear, checkpoint-format."""
-    planes = make_numpy_planes(cfg, seed=seed, dtype=dtype)
+    planes = make_numpy_planes(
+        cfg, seed=seed, dtype=dtype, heavy_tailed=heavy_tailed
+    )
     c, k, v = cfg.num_codebooks, cfg.num_main_centroids, cfg.vector_len
 
     out: Dict[str, np.ndarray] = {}
@@ -110,6 +113,7 @@ def write_synthetic_checkpoint(
     dtype=np.float16,
     qkv_bias: bool = False,
     vq_lm_head: bool = False,
+    heavy_tailed: bool = False,
 ) -> Path:
     """Create ``path`` with config.json + model.safetensors.
 
@@ -234,7 +238,7 @@ def write_synthetic_checkpoint(
             tensors.update(
                 _layer_tensors(
                     prefix, cfg, seed=int(rng.integers(1 << 31)),
-                    dtype=dtype,
+                    dtype=dtype, heavy_tailed=heavy_tailed,
                 )
             )
             config_for_layers[prefix] = cfg.to_dict()
