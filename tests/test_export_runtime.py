@@ -175,3 +175,37 @@ def test_export_round_trip_int3_mixed(tmp_path):
     np.testing.assert_allclose(
         np.asarray(l1), np.asarray(l2), rtol=1e-6, atol=1e-6
     )
+
+
+def test_export_round_trip_int2_and_int2_mixed(tmp_path):
+    """Int2Linear and Int2MixedLinear survive the runtime checkpoint
+    round trip forward-exactly (the 70B int2-mixed calibration probe
+    died at export before this existed)."""
+    src = tmp_path / "src"
+    write_synthetic_checkpoint(
+        src, tiny_model_config(), vq_kwargs=VQ, seed=112
+    )
+    for fmt, calib in (("int2", None), ("int2-mixed", 128)):
+        rt = tmp_path / f"rt_{fmt}"
+        kwargs = {} if calib is None else {"calibration": calib}
+        model = load_model(
+            str(src), dtype=jnp.float32, runtime_format=fmt, **kwargs
+        )
+        if fmt == "int2-mixed":
+            from vptq_tpu.layers.runtime import Int2MixedLinear
+
+            assert any(
+                isinstance(b.attn.qkv_proj, Int2MixedLinear)
+                for b in model.blocks
+            )
+        export_runtime(model, str(rt))
+        model2 = load_runtime_model(str(rt))
+
+        tokens = jnp.asarray([[3, 7, 11]], jnp.int32)
+        c1 = init_cache(model.cfg, 1, 8, jnp.float32)
+        l1, _ = forward(model, tokens, c1, dtype=jnp.float32)
+        c2 = init_cache(model2.cfg, 1, 8, jnp.float32)
+        l2, _ = forward(model2, tokens, c2, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=1e-6, atol=1e-6
+        )

@@ -36,6 +36,8 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
 
     from vptq_tpu.layers.dense import DenseLinear
     from vptq_tpu.layers.runtime import (
+        Int2Linear,
+        Int2MixedLinear,
         Int3Linear,
         Int3MixedLinear,
         Int4Linear,
@@ -47,7 +49,13 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
     def put(name, x):
         if x is None:
             return
-        a = np.asarray(jax.device_get(x))
+        # device_get can hand back a STRIDED host view (narrow last
+        # dims on the tunneled TPU backend); the later same-size
+        # dtype view + safetensors serialization both read the raw
+        # buffer, silently scrambling non-contiguous arrays — force
+        # contiguity here (caught by the on-chip int2-mixed
+        # export/reload drive, round 5)
+        a = np.ascontiguousarray(np.asarray(jax.device_get(x)))
         out[name] = a
 
     def put_linear(prefix, lin):
@@ -55,6 +63,12 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
             return
         if isinstance(lin, Int3MixedLinear):
             put_linear(f"{prefix}.mix3", lin.int3)
+            put_linear(f"{prefix}.mix8", lin.int8)
+            put(f"{prefix}.mix_cols", lin.col_idx)
+            put(f"{prefix}.bias", lin.bias)
+            return
+        if isinstance(lin, Int2MixedLinear):
+            put_linear(f"{prefix}.mix2", lin.int2)
             put_linear(f"{prefix}.mix8", lin.int8)
             put(f"{prefix}.mix_cols", lin.col_idx)
             put(f"{prefix}.bias", lin.bias)
@@ -71,6 +85,10 @@ def _flatten_model(model) -> Dict[str, np.ndarray]:
             put(f"{prefix}.wq3_2", lin.wq2)
             put(f"{prefix}.wq3_1", lin.wq1)
             put(f"{prefix}.scales3", lin.scales)
+            put(f"{prefix}.bias", lin.bias)
+        elif isinstance(lin, Int2Linear):
+            put(f"{prefix}.wq2p", lin.wq)
+            put(f"{prefix}.scales2", lin.scales)
             put(f"{prefix}.bias", lin.bias)
         elif isinstance(lin, DenseLinear):
             put(f"{prefix}.weight", lin.weight)
@@ -189,6 +207,8 @@ def load_runtime_model(runtime_dir: str):
 
     from vptq_tpu.layers.dense import DenseLinear
     from vptq_tpu.layers.runtime import (
+        Int2Linear,
+        Int2MixedLinear,
         Int3Linear,
         Int3MixedLinear,
         Int4Linear,
@@ -227,6 +247,13 @@ def load_runtime_model(runtime_dir: str):
 
     def get_linear(prefix):
         if f"{prefix}.mix_cols" in state:
+            if f"{prefix}.mix2.wq2p" in state:
+                return Int2MixedLinear(
+                    int2=get_linear(f"{prefix}.mix2"),
+                    int8=get_linear(f"{prefix}.mix8"),
+                    col_idx=state[f"{prefix}.mix_cols"],
+                    bias=state.get(f"{prefix}.bias"),
+                )
             return Int3MixedLinear(
                 int3=get_linear(f"{prefix}.mix3"),
                 int8=get_linear(f"{prefix}.mix8"),
@@ -250,6 +277,12 @@ def load_runtime_model(runtime_dir: str):
                 wq2=state[f"{prefix}.wq3_2"],
                 wq1=state[f"{prefix}.wq3_1"],
                 scales=state[f"{prefix}.scales3"],
+                bias=state.get(f"{prefix}.bias"),
+            )
+        if f"{prefix}.wq2p" in state:
+            return Int2Linear(
+                wq=state[f"{prefix}.wq2p"],
+                scales=state[f"{prefix}.scales2"],
                 bias=state.get(f"{prefix}.bias"),
             )
         if f"{prefix}.weight" in state:

@@ -132,8 +132,11 @@ E2E_GBPS = {
     "int4": 544.0,
     "int3": 170.0,
     # int2: from the round-5 measured `bench.py --int2-mixed` decode
-    # (67.8 tok/s at 2.16 GB streamed/tok, with side+lm_head shares
-    # at their own rates backed out via this same model)
+    # (67.8 tok/s at 2.16 GB streamed/tok on a chip-day running 12%
+    # slow — same-day int4 decoded 133.8 vs its 151.65 reference day;
+    # the backcast at this rate predicts 74.6, i.e. 67.8 x the
+    # day-drift factor within 3%). 70B @ int2-mixed on 2 v5e chips
+    # predicts 14.7 tok/s vs the reference's 9.7 on A100.
     "int2": 150.0,
     "bf16": 614.6,
     "codebook": 0.76,
