@@ -221,6 +221,61 @@ void vptq_int4_quant(const float* w, int64_t rows, int64_t cols,
   });
 }
 
+// Half-offset per-(row, group) int2 quantization with MSE-optimal
+// scale search (same semantics as ops/packing.py quantize_int2 with
+// optimize=true; the numpy version is the oracle). Levels are
+// (q + 0.5) * s with q in [-2, 1]; the grid runs a deeper shrink
+// ladder than int4 (13 candidates — 2-bit MSE favours clipping).
+//   w: f32 (rows, cols) with cols % group == 0
+//   q: int8 in [-2,1] (rows, cols); scales: f32 (rows, cols/group)
+void vptq_int2_quant(const float* w, int64_t rows, int64_t cols,
+                     int64_t group, int optimize, int8_t* q,
+                     float* scales) {
+  constexpr int kNumInt2Candidates = 13;
+  const int64_t n_groups = cols / group;
+  parallel_for(rows, [=](int64_t begin, int64_t end) {
+    for (int64_t r = begin; r < end; ++r) {
+      const float* wr = w + r * cols;
+      int8_t* qr = q + r * cols;
+      float* sr = scales + r * n_groups;
+      for (int64_t gidx = 0; gidx < n_groups; ++gidx) {
+        const float* wg = wr + gidx * group;
+        int8_t* qg = qr + gidx * group;
+        float amax = 0.f;
+        for (int64_t i = 0; i < group; ++i)
+          amax = std::max(amax, std::fabs(wg[i]));
+        const float base = amax > 0.f ? amax / 1.5f : 1.f;
+        float best_s = bf16_rne(base);
+        float best_err = -1.f;
+        const int n_cand = optimize ? kNumInt2Candidates : 1;
+        for (int c = 0; c < n_cand; ++c) {
+          const float f = 1.f - 0.05f * static_cast<float>(c);
+          const float s = bf16_rne(base * f);
+          const float inv = 1.f / s;
+          float err = 0.f;
+          for (int64_t i = 0; i < group; ++i) {
+            float v = std::nearbyint(wg[i] * inv - 0.5f);
+            v = std::max(-2.f, std::min(1.f, v));
+            const float d = wg[i] - (v + 0.5f) * s;
+            err += d * d;
+          }
+          if (best_err < 0.f || err < best_err) {
+            best_err = err;
+            best_s = s;
+          }
+        }
+        sr[gidx] = best_s;
+        const float inv = 1.f / best_s;
+        for (int64_t i = 0; i < group; ++i) {
+          float v = std::nearbyint(wg[i] * inv - 0.5f);
+          v = std::max(-2.f, std::min(1.f, v));
+          qg[i] = static_cast<int8_t>(v);
+        }
+      }
+    }
+  });
+}
+
 // Symmetric per-(row, group) int8 quantization.
 //   w: f32 (rows, cols) with cols % group == 0
 //   q: int8 (rows, cols); scales: f32 (rows, cols/group)

@@ -118,3 +118,21 @@ def test_native_int8_matches_numpy():
 
     np.testing.assert_allclose(scales, ref_scales, rtol=1e-6)
     np.testing.assert_array_equal(q, ref_q.reshape(64, -1))
+
+
+def test_native_int2_quant_matches_numpy():
+    """vptq_int2_quant (half-offset grid, 13-candidate search) must
+    match ops.packing.quantize_int2 bit-for-bit."""
+    from vptq_tpu import native
+    from vptq_tpu.ops.packing import quantize_int2
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    w = (rng.standard_t(4, (64, 1024)) * 0.02).astype(np.float32)
+    qn, sn = quantize_int2(w, group=64)
+    got = native.int2_group_quant(w, 64)
+    assert got is not None
+    qc, sc = got
+    np.testing.assert_array_equal(qn, qc)
+    np.testing.assert_allclose(sn, sc, rtol=0, atol=0)

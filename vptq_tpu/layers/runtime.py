@@ -922,10 +922,22 @@ def _encode_int2(
             bias=bias,
         )
 
+    from vptq_tpu import native
+
     pad = (-w.shape[1]) % pad_to
     if pad:
         w = np.pad(w, ((0, 0), (0, pad)))
-    q, scale = quantize_int2(w, group=group)
+    got = (
+        native.int2_group_quant(
+            np.ascontiguousarray(w, np.float32), group
+        )
+        if native.available()
+        else None
+    )
+    if got is not None:
+        q, scale = got
+    else:
+        q, scale = quantize_int2(w, group=group)
     return Int2Linear(
         wq=pack_int2(q),
         scales=np.ascontiguousarray(scale).astype(jnp.bfloat16),

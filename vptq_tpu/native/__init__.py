@@ -28,6 +28,7 @@ __all__ = [
     "dequant",
     "int8_group_quant",
     "int4_group_quant",
+    "int2_group_quant",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -90,6 +91,10 @@ def _lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p,
     ]
     lib.vptq_int4_quant.argtypes = [
+        ctypes.c_void_p, _i64, _i64, _i64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.vptq_int2_quant.argtypes = [
         ctypes.c_void_p, _i64, _i64, _i64, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
@@ -224,6 +229,27 @@ def int8_group_quant(
     scales = np.empty((rows, cols // group), np.float32)
     lib.vptq_int8_quant(
         _ptr(w_c), rows, cols, group, _ptr(q), _ptr(scales)
+    )
+    return q, scales
+
+
+def int2_group_quant(
+    w: np.ndarray, group: int, optimize: bool = True
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Per-(row, group) half-offset int2 with MSE-optimal scale search
+    (semantics of ops.packing.quantize_int2); None without native."""
+    lib = _lib()
+    if lib is None:
+        return None
+    rows, cols = w.shape
+    if cols % group:
+        raise ValueError("cols must divide group")
+    w_c = np.ascontiguousarray(w, np.float32)
+    q = np.empty((rows, cols), np.int8)
+    scales = np.empty((rows, cols // group), np.float32)
+    lib.vptq_int2_quant(
+        _ptr(w_c), rows, cols, group, 1 if optimize else 0,
+        _ptr(q), _ptr(scales),
     )
     return q, scales
 

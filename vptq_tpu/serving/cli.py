@@ -45,9 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
             "bf16", "codebook",
         ),
         help="runtime weight format (see ARCHITECTURE.md); "
-        "int4-mixed/int3-mixed = calibrated GPTQ with the measured-"
-        "most-sensitive sites kept int8; int3 = sub-4-bit memory-"
-        "floor plane format",
+        "int4-mixed = calibrated GPTQ with the measured-most-"
+        "sensitive sites kept int8; int3-mixed/int2-mixed = "
+        "calibrated per-column int8 extraction over the int3/int2 "
+        "plane formats (int2-mixed = the ~2.5-bit serving operating "
+        "point); int3/int2 = raw plane formats (capacity probes)",
     )
     p.add_argument(
         "--calibration-tokens", type=int, default=0,
