@@ -559,9 +559,22 @@ def main():
         # FULL headline suite (VERDICT r4 item 3): int8 first — its
         # single-stream decode is the same-run normalizer every other
         # line carries, so chip-day drift (±12% observed) divides out.
-        records = []
+        # Records STREAM as soon as they are measured (a driver
+        # timeout mid-suite still captures everything finished); the
+        # round's flagship (int2-mixed) is measured — and printed —
+        # LAST, because the driver parses the final JSON line as the
+        # headline metric.
         int8_ref = None
-        for f in ("int8", "int4", "int2mixed", "int3mixed"):
+
+        def emit(rec):
+            rec["int8_ref_tok_s"] = int8_ref
+            if rec["unit"] == "tok/s" and int8_ref:
+                rec["vs_int8_same_run"] = round(
+                    rec["value"] / int8_ref, 3
+                )
+            print(json.dumps(rec), flush=True)
+
+        for f in ("int8", "int4", "int3mixed", "int2mixed"):
             t0 = time.time()
             model = build_7b_int8(rng, fmt=f, geometry=geometry)
             print(
@@ -571,26 +584,19 @@ def main():
             rec = run_decode(model, f, geometry, steps, batch, max_seq)
             if f == "int8":
                 int8_ref = rec["value"]
-            records.append(rec)
+            emit(rec)
+            if f == "int8":
+                emit(run_serving(model, f, chunk, depth))
             if f == "int4":
                 t = ttft(model, prompt_len=prompt_len)
-                records.append({
+                emit({
                     "metric": f"llama2_7b_prefill{prompt_len}"
                     "_p50_s_int4",
                     "value": round(t, 4),
                     "unit": "s",
                     "vs_baseline": 0.0,  # reference publishes no TTFT
                 })
-            if f == "int8":
-                records.append(run_serving(model, f, chunk, depth))
             del model
-        for rec in records:
-            rec["int8_ref_tok_s"] = int8_ref
-            if rec["unit"] == "tok/s":
-                rec["vs_int8_same_run"] = round(
-                    rec["value"] / int8_ref, 3
-                )
-            print(json.dumps(rec))
         return
 
     fmt = fmt or "int8"

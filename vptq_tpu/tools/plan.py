@@ -131,13 +131,12 @@ E2E_GBPS = {
     "int8": 614.6,
     "int4": 544.0,
     "int3": 170.0,
-    # int2: from the round-5 measured `bench.py --int2-mixed` decode
-    # (67.8 tok/s at 2.16 GB streamed/tok on a chip-day running 12%
-    # slow — same-day int4 decoded 133.8 vs its 151.65 reference day;
-    # the backcast at this rate predicts 74.6, i.e. 67.8 x the
-    # day-drift factor within 3%). 70B @ int2-mixed on 2 v5e chips
-    # predicts 14.7 tok/s vs the reference's 9.7 on A100.
-    "int2": 150.0,
+    # int2: fitted to the round-5 clean-session suite run — int2-mixed
+    # 67.9 tok/s at 2.16 GB streamed/tok alongside int8 92.9 / int4
+    # 150.5 (same run, chip-day at reference levels). The backcast at
+    # this rate reproduces 67.9 within 1%. 70B @ int2-mixed on 2 v5e
+    # chips predicts ~13.5 tok/s vs the reference's 9.7 on A100.
+    "int2": 136.0,
     "bf16": 614.6,
     "codebook": 0.76,
 }
