@@ -549,7 +549,10 @@ def main():
         t0 = time.time()
         model = load_runtime_model(calibrated_dir)
         print(f"# model built in {time.time()-t0:.1f}s", file=sys.stderr)
-        fmt = fmt or "calibrated"
+        # keep metric-name continuity: the historic default calibrated
+        # checkpoint is int4-mixed ("..._int4mixed_calibrated"); pass a
+        # format flag to label other calibrated formats
+        fmt = fmt or "int4mixed"
         print(json.dumps(run_decode(
             model, f"{fmt}_calibrated", geometry, steps, batch, max_seq
         )))

@@ -1,4 +1,5 @@
-"""Decode-step cost breakdown on the real chip (--int4 / --int3).
+"""Decode-step cost breakdown on the real chip
+(--int4 / --int3 / --int2 / --int2-mixed / --int3-mixed).
 
 Times each component of a 7B decode step in isolation:
   * each fused linear shape (qkv / o / gate_up / down) x32, lm_head
@@ -90,8 +91,8 @@ def main():
     from vptq_tpu.serving.generate import decode_loop
 
     fmt = "int8"
-    for a in ("int4", "int3"):
-        if f"--{a}" in sys.argv:
+    for a in ("int4", "int3", "int2", "int2mixed", "int3mixed"):
+        if f"--{a.replace('mixed', '-mixed')}" in sys.argv:
             fmt = a
     rng = np.random.default_rng(0)
     model = build_7b_int8(rng, fmt=fmt)

@@ -699,3 +699,66 @@ def test_mixed_formats_on_realistic_statistics(tmp_path):
     # lives in the committed FIDELITY.json (scripts/
     # fidelity_gauntlet.py): int2-mixed 0.163 vs int3-mixed 0.130
     # vs int4-rtn 0.142 logit KL at 2.5/3.5/4.2 bits.
+
+
+def test_calibration_resume_preserves_ranking(tmp_path, monkeypatch):
+    """Regression (round-5 review): a resumed int4-mixed run must
+    keep the ranking pass's sensitivities — an earlier bug saved an
+    empty sens dict from the main phase, so resuming silently dropped
+    the whole forced-int8 site budget."""
+    import vptq_tpu.quant.calibrate as cal
+    from vptq_tpu.models.loader import load_model
+    from vptq_tpu.quant.calibrate import (
+        quantize_model_calibrated,
+        synthetic_calibration_tokens,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    _midsize_checkpoint(ckpt)
+    exact = load_model(
+        str(ckpt), runtime_format="codebook",
+        dtype=jnp.float32, fuse=False,
+    )
+    calib = synthetic_calibration_tokens(
+        exact.cfg.vocab_size, n_tokens=512, seq_len=256, seed=7
+    )
+    rdir = str(tmp_path / "resume")
+
+    real_capture = cal._capture_block
+    calls = {"n": 0}
+
+    def dying_capture(i, *a, **kw):
+        # the ranking pass visits blocks 0..3 first; die at MAIN
+        # block 2 (the 4+2 = 6th capture)
+        calls["n"] += 1
+        if calls["n"] == 7:
+            raise RuntimeError("simulated kill -9")
+        return real_capture(i, *a, **kw)
+
+    monkeypatch.setattr(cal, "_capture_block", dying_capture)
+    with pytest.raises(RuntimeError, match="simulated"):
+        quantize_model_calibrated(
+            exact, calib, fmt="int4-mixed", int8_fraction=0.25,
+            resume_dir=rdir,
+        )
+    monkeypatch.setattr(cal, "_capture_block", real_capture)
+
+    resumed, rep = quantize_model_calibrated(
+        exact, calib, fmt="int4-mixed", int8_fraction=0.25,
+        resume_dir=rdir,
+    )
+    straight, rep2 = quantize_model_calibrated(
+        exact, calib, fmt="int4-mixed", int8_fraction=0.25
+    )
+    # the int8 budget survived the resume and matches the
+    # uninterrupted run site-for-site
+    assert rep["summary"]["int8_sites"] == 4
+    chosen = {
+        k for k, v in rep.items()
+        if k != "summary" and v.get("format") == "int8"
+    }
+    chosen2 = {
+        k for k, v in rep2.items()
+        if k != "summary" and v.get("format") == "int8"
+    }
+    assert chosen == chosen2, (chosen, chosen2)

@@ -983,9 +983,6 @@ def bf16_matmul(
     return out.reshape(*lead_shape, out_features).astype(out_dtype)
 
 
-W2_GROUP = 64  # int2 scale-group width along in_features
-
-
 def _w2_kernel(*refs, n_in_tiles: int, s_q: int, group: int):
     """One int2 (out_tile, in_tile) grid step.
 

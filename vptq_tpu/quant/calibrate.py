@@ -846,10 +846,12 @@ def quantize_model_calibrated(
             return
         import json as _json
 
-        with open(
-            _os.path.join(resume_dir, "state.pkl"), "wb"
-        ) as f:
+        # state first, ATOMICALLY (tmp + replace): a kill mid-write
+        # must not tear the pickle the still-valid manifest points at
+        stmp = _os.path.join(resume_dir, "state.pkl.tmp")
+        with open(stmp, "wb") as f:
             _pickle.dump(np.asarray(jax.device_get(x_arr)), f)
+        _os.replace(stmp, _os.path.join(resume_dir, "state.pkl"))
         tmp = _os.path.join(resume_dir, "manifest.json.tmp")
         with open(tmp, "w") as f:
             _json.dump(
@@ -917,6 +919,11 @@ def quantize_model_calibrated(
                 done, total, _time.time() - t_blk, eta,
             )
             _save_manifest("rank", i + 1, x, sens)
+        # carry the completed ranking into the in-memory manifest so
+        # MAIN-phase checkpoints persist it (a resumed run rebuilds
+        # forced_int8 from manifest sens — losing it would silently
+        # drop the whole int8 site budget)
+        manifest["sens"] = dict(sens)
         n8 = int(round(len(sens) * int8_fraction))
         ranked = sorted(sens, key=sens.get, reverse=True)
         forced_int8 = set(ranked[:n8])

@@ -209,11 +209,11 @@ def gptq_quantize(
             # exactly (mirrors packing.quantize_int3's grid)
             scale_candidates = scale_candidates + (1.15, 1.3)
         elif bits == 2:
-            # deep shrink ladder: 2-bit MSE favours clipping
-            # (mirrors packing.INT2_SCALE_CANDIDATES)
-            scale_candidates = tuple(
-                1.0 - 0.05 * i for i in range(13)
-            )
+            # deep shrink ladder: 2-bit MSE favours clipping — the
+            # SAME grid as the RTN oracle / native quantizer
+            from vptq_tpu.ops.packing import INT2_SCALE_CANDIDATES
+
+            scale_candidates = INT2_SCALE_CANDIDATES
     bf16_scales = bits != 8
     out_f, in_f = w.shape
     spans = group_spans(in_f, group, block)

@@ -880,17 +880,24 @@ def main(argv=None) -> int:
         f"slice)"
     )
 
+    # model-axis width for the throughput prediction: the tp degree
+    # under shard_map, or the WHOLE slice under gspmd (XLA shards
+    # every weight over all per-slice chips)
+    model_chips = tp if args.parallel == "tp" else per_slice
+
     def replica_tok_s(ici):
-        # single-stream decode through one slice: pipeline stages
-        # stream sequentially, each tp-wide (total weight-stream time
-        # is model/(tp*rate) regardless of pp) + one ppermute hop per
-        # stage boundary
-        t = 1.0 / predict_decode_tok_s(
-            cfg, args.format, max(tp, 1), args.batch, args.max_seq,
-            ici_us=ici,
+        # decode through one slice: pipeline stages stream
+        # sequentially, each tp-wide (total weight-stream time is
+        # model/(tp*rate) regardless of pp) + one ppermute hop per
+        # stage boundary per STEP. predict_decode_tok_s returns
+        # batch-aggregate tok/s, so convert via t_step = batch/pred.
+        pred = predict_decode_tok_s(
+            cfg, args.format, max(model_chips, 1), args.batch,
+            args.max_seq, ici_us=ici,
         )
-        t += (pp - 1) * ici * 1e-6
-        return args.batch / t
+        t_step = args.batch / pred
+        t_step += (pp - 1) * ici * 1e-6
+        return args.batch / t_step
 
     tok_s = replica_tok_s(args.ici_us)
     lo, hi = replica_tok_s(20.0), replica_tok_s(1.0)
