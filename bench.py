@@ -553,6 +553,11 @@ def main():
         # checkpoint is int4-mixed ("..._int4mixed_calibrated"); pass a
         # format flag to label other calibrated formats
         fmt = fmt or "int4mixed"
+        if metric == "serving":
+            print(json.dumps(
+                run_serving(model, f"{fmt}_calibrated", chunk, depth)
+            ))
+            return
         print(json.dumps(run_decode(
             model, f"{fmt}_calibrated", geometry, steps, batch, max_seq
         )))
